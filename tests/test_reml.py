@@ -1,0 +1,68 @@
+"""Design matrices + weighted EM/AI REML vs golden fixtures produced by the
+reference implementation (tools/gen_golden.py)."""
+import numpy as np
+import pytest
+
+from gmat_tpu.grm.grm import additive_grm, dominance_grm
+from gmat_tpu.io.pheno import design_matrix, design_matrix_pred
+from gmat_tpu.reml.wemai import wemai_multi_gmat, wemai_reml
+
+from conftest import GOLDEN
+
+
+@pytest.fixture(scope="module")
+def grms(mouse_geno):
+    import jax.numpy as jnp
+
+    g = jnp.asarray(mouse_geno)
+    return np.asarray(additive_grm(g)), np.asarray(dominance_grm(g))
+
+
+def test_design_matrix_matches_reference(mouse_pheno, mouse_prefix):
+    gold = np.load(GOLDEN / "design.npz")
+    dm = design_matrix(mouse_pheno, mouse_prefix)
+    np.testing.assert_array_equal(dm.y, gold["y"].ravel())
+    np.testing.assert_array_equal(dm.xmat, gold["xmat"])
+    np.testing.assert_array_equal(dm.z_dense(), gold["z_dense"])
+
+
+def test_design_matrix_pred_superset(mouse_pheno, mouse_prefix):
+    dm = design_matrix_pred(mouse_pheno, mouse_prefix)
+    full = design_matrix(mouse_pheno, mouse_prefix)
+    assert dm.n_col == full.n_col  # mouse: everyone phenotyped
+    np.testing.assert_array_equal(dm.y, full.y)
+
+
+def test_design_matrix_missing_id_raises(tmp_path, mouse_prefix):
+    # phenotype file that drops the first genotyped individual
+    with open(mouse_prefix.replace("plink", "pheno")) as f:
+        lines = f.readlines()
+    p = tmp_path / "pheno_short"
+    p.write_text("".join(lines[1:]))
+    with pytest.raises(ValueError, match="missing from the phenotype"):
+        design_matrix(str(p), mouse_prefix)
+
+
+@pytest.mark.parametrize(
+    "key,build",
+    [
+        ("a_axa", lambda ag, dg: [ag, ag * ag]),
+        ("a_d_axa", lambda ag, dg: [ag, dg, ag * ag]),
+        ("a_d_axa_axd_dxd",
+         lambda ag, dg: [ag, dg, ag * ag, ag * dg, dg * dg]),
+    ],
+)
+def test_reml_matches_reference(mouse_pheno, mouse_prefix, grms, key, build):
+    gold = np.load(GOLDEN / "reml_var.npz")[key]
+    ag, dg = grms
+    dm = design_matrix(mouse_pheno, mouse_prefix)
+    var = wemai_reml(dm, build(ag, dg))
+    np.testing.assert_allclose(var, gold, rtol=1e-6, atol=1e-10)
+
+
+def test_wemai_file_wrapper(tmp_path, mouse_pheno, mouse_prefix, grms):
+    ag, _ = grms
+    out = str(tmp_path / "var.txt")
+    var = wemai_multi_gmat(mouse_pheno, mouse_prefix, [ag, ag * ag], out_file=out)
+    disk = np.loadtxt(out)
+    np.testing.assert_allclose(disk, var, rtol=1e-12)

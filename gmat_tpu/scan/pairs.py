@@ -96,17 +96,16 @@ def _scan_anchors(mat0, mat1, pieces, snp_lst_0, num_snp, triangular, p_cut,
                 if not np.any(keep):
                     continue
                 sel = js[keep]
-                rows = np.column_stack(
-                    [
-                        np.full(sel.shape, i),
-                        sel,
-                        (eff[b, i + 1:] if triangular else eff[b])[keep],
-                        (chi[b, i + 1:] if triangular else chi[b])[keep],
-                        row_p[keep],
-                    ]
+                df = pd.DataFrame(
+                    {
+                        0: np.full(sel.shape, i, dtype=np.int64),
+                        1: sel.astype(np.int64),
+                        2: (eff[b, i + 1:] if triangular else eff[b])[keep],
+                        3: (chi[b, i + 1:] if triangular else chi[b])[keep],
+                        4: row_p[keep],
+                    }
                 )
-                pd.DataFrame(rows).to_csv(fout, sep=" ", header=False,
-                                          index=False)
+                df.to_csv(fout, sep=" ", header=False, index=False)
     return 0
 
 
@@ -241,11 +240,17 @@ def _remma_epi_pair(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                 )
             )
             keep = p < p_cut
-            rows = np.column_stack(
-                [chunk[keep, 0], chunk[keep, 1], eff[keep], var[keep],
-                 chi[keep], p[keep]]
+            df = pd.DataFrame(
+                {
+                    0: chunk[keep, 0].astype(np.int64),
+                    1: chunk[keep, 1].astype(np.int64),
+                    2: eff[keep],
+                    3: var[keep],
+                    4: chi[keep],
+                    5: p[keep],
+                }
             )
-            pd.DataFrame(rows).to_csv(fout, sep=" ", header=False, index=False)
+            df.to_csv(fout, sep=" ", header=False, index=False)
     return 0
 
 

@@ -1,0 +1,469 @@
+"""Effect-only epistasis screening and the approximate test pipelines.
+
+Reference parity (the C/OpenMP kernel family and its drivers):
+- `remma_epi{AA,AD,DD}_eff`  (/root/reference/gmat/remma/remma_epiAA/
+  remma_epiAA_eff.py:20-96 and the C kernel _remma_epi_eff_cpu.c:91-137):
+  screen |eff(i,j)| > eff_cut = sqrt(chi2_crit * var_app), write
+  `snp_0 snp_1 eff` + appended `chi_app p_app` columns.
+- `remma_epi*_maf_eff` (remma_epiAA_maf_eff.py:20-107, C :171-219):
+  per-MAF-bin thresholds eff_cut[bin_i*10+bin_j]; bins = int(maf*20).
+- `remma_epi*_approx` (remma_epiAA_approx.py:10-53): random-pair variance
+  calibration (median) -> screen -> exact re-test -> merge approx+exact p.
+- `remma_epi*_maf_approx` (remma_epiAA_maf_approx.py:11-90): per-bin *mean*
+  variance calibration with global-mean fallback.
+- AD orientation rule (C :233-247): anchors i scan j>i testing both
+  (A_i, D_j) -> row (i, j) and (A_j, D_i) -> row (j, i).
+
+TPU-first engine: the screen effect for a whole anchor tile is one GEMM,
+    S = (A ⊙ py)ᵀ B     with A = anchor columns, B = all partner columns,
+computed in float32 on the MXU (the screen is a threshold test; survivors are
+re-tested exactly in float64 — mirroring the reference's own
+screen-then-exact design, which tolerates screening error by construction).
+Hits are compacted per anchor tile with a fixed-capacity `nonzero`; the
+anchor tiling is also the unit of multi-chip sharding.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from gmat_tpu.core.coding import additive_code, dominance_code
+from gmat_tpu.core.stats import chi2_isf
+from gmat_tpu.io.pheno import design_matrix
+from gmat_tpu.scan.common import prepare_genotypes, score_pieces
+from gmat_tpu.scan.pairs import balanced_anchor_split
+
+logger = logging.getLogger(__name__)
+
+_HIT_CAP = 65536  # fixed per-anchor-tile hit capacity (static shapes for XLA)
+
+
+@partial(jax.jit, static_argnames=("mask_mode", "cap"))
+def _screen_tile(a_cols, a_idx, b_mat, py, cut_rows, mask_mode, cap=_HIT_CAP):
+    """One anchor tile vs all partners.
+
+    a_cols: (n, TA) anchor-coded columns; a_idx: (TA,) absolute SNP indices;
+    b_mat: (n, m) partner-coded matrix; py: (n,) pymat; cut_rows: (TA, m)
+    per-pair effect thresholds (broadcasted upstream).
+    mask_mode: 'tri' keeps j > i (AA/DD); 'nodiag' keeps j != i (AD).
+    Returns (count, idx0, idx1, eff) with fixed capacity `cap`.
+    """
+    s = (a_cols * py[:, None]).T @ b_mat  # (TA, m) — the MXU GEMM
+    j_ids = jnp.arange(b_mat.shape[1])[None, :]
+    if mask_mode == "tri":
+        valid = j_ids > a_idx[:, None]
+    else:
+        valid = j_ids != a_idx[:, None]
+    hit = (jnp.abs(s) > cut_rows) & valid
+    count = jnp.sum(hit)
+    rows, cols = jnp.nonzero(hit, size=cap, fill_value=0)
+    return count, a_idx[rows], cols, s[rows, cols]
+
+
+def _run_screen(a_mat, b_mat, pymat, anchors, cut_fn, mask_mode, tile,
+                flip_output=False):
+    """Host driver: tiles anchors, compacts hits; returns (i, j, eff) arrays."""
+    out_i, out_j, out_e = [], [], []
+    anchors = np.asarray(anchors, dtype=np.int32)
+    for start in range(0, len(anchors), tile):
+        batch = anchors[start:start + tile]
+        pad = tile - len(batch)
+        padded = np.pad(batch, (0, pad), constant_values=batch[-1])
+        a_cols = a_mat[:, padded]
+        cut_rows = cut_fn(padded)
+        count, hi, hj, he = _screen_tile(
+            a_cols, jnp.asarray(padded), b_mat, pymat, cut_rows, mask_mode
+        )
+        count = int(count)
+        if count > _HIT_CAP:
+            raise RuntimeError(
+                f"screen tile overflow: {count} hits > capacity {_HIT_CAP}; "
+                "lower p_cut or reduce the anchor tile size"
+            )
+        if count == 0:
+            continue
+        hi, hj, he = (np.asarray(h)[:count] for h in (hi, hj, he))
+        if pad:  # drop hits contributed by duplicated padding anchors
+            keep = np.isin(hi, batch)
+            # padding duplicates batch[-1]; dedupe exact duplicate rows
+            hi, hj, he = hi[keep], hj[keep], he[keep]
+            _, uniq = np.unique(np.stack([hi, hj]), axis=1, return_index=True)
+            uniq = np.sort(uniq)
+            hi, hj, he = hi[uniq], hj[uniq], he[uniq]
+        if flip_output:
+            hi, hj = hj, hi
+        out_i.append(hi)
+        out_j.append(hj)
+        out_e.append(he)
+    if not out_i:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0),)
+    return (np.concatenate(out_i).astype(np.int64),
+            np.concatenate(out_j).astype(np.int64),
+            np.concatenate(out_e))
+
+
+def _maf_bins(geno):
+    """int(maf*20) bins (reference remma_epiAA_maf_approx.py:38-41)."""
+    freq = 1.0 - np.sum(geno, axis=0) / (2.0 * geno.shape[0])
+    freq = np.where(freq > 0.5, 1.0 - freq, freq)
+    return freq, (freq * 20).astype(np.int64)
+
+
+def _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
+                   snp_lst_0, eff_cut_table, bins, out_file, tile=256,
+                   screen_dtype=np.float32):
+    """Shared driver for the *_eff / *_maf_eff family.
+
+    eff_cut_table: (111,) per-bin-pair |eff| thresholds (flat constant for the
+    non-MAF variant); bins: (m,) per-SNP MAF bin indices (zeros if non-MAF).
+    Writes `snp_0 snp_1 eff` rows.  Returns the hit arrays.
+    """
+    dm = design_matrix(pheno_file, bed_prefix)
+    pieces = score_pieces(dm, gmat_lst, var_com)
+    geno, _, _ = prepare_genotypes(bed_prefix)
+    num_snp = geno.shape[1]
+    g = jnp.asarray(geno)
+    a_full, _, _ = additive_code(g)
+    d_full, _, _ = dominance_code(g)
+    py = pieces.pymat.astype(screen_dtype)
+    a_full = a_full.astype(screen_dtype)
+    d_full = d_full.astype(screen_dtype)
+    bins = np.asarray(bins, dtype=np.int64)
+    table = np.asarray(eff_cut_table)
+
+    def cut_fn(anchor_ids):
+        # (TA, m) per-pair thresholds via the bin-pair table
+        return jnp.asarray(
+            table[bins[anchor_ids][:, None] * 10 + bins[None, :]]
+            .astype(screen_dtype)
+        )
+
+    # AA/DD anchors stop at num_snp-2; AD's wrapper anchors over all SNPs
+    # (reference remma_epiAD_eff.py:57) — the j>i mask empties the last one.
+    hi_anchor = num_snp if kind == "AD" else num_snp - 1
+    if snp_lst_0 is None:
+        snp_lst_0 = range(hi_anchor)
+    elif max(snp_lst_0) >= hi_anchor or min(snp_lst_0) < 0:
+        raise ValueError("snp_lst_0 is out of range!")
+
+    anchors = list(snp_lst_0)
+    if kind == "AA":
+        res = [_run_screen(a_full, a_full, py, anchors, cut_fn, "tri", tile)]
+    elif kind == "DD":
+        res = [_run_screen(d_full, d_full, py, anchors, cut_fn, "tri", tile)]
+    else:  # AD: both orientations, j > i (C kernel :233-247)
+        res = [
+            _run_screen(a_full, d_full, py, anchors, cut_fn, "tri", tile),
+            _run_screen(d_full, a_full, py, anchors, cut_fn, "tri", tile,
+                        flip_output=True),
+        ]
+    idx0 = np.concatenate([r[0] for r in res])
+    idx1 = np.concatenate([r[1] for r in res])
+    eff = np.concatenate([r[2] for r in res])
+    with open(out_file, "w") as f:
+        f.write("snp_0 snp_1 eff\n")
+        for i, j, e in zip(idx0, idx1, eff):
+            f.write(f"{i} {j} {e:g}\n")
+    return idx0, idx1, eff
+
+
+def _append_approx_p(screen_file, out_file, bins, freq_deno):
+    """Append chi_app/p_app columns (reference remma_epiAA_eff.py:84-95,
+    remma_epiAA_maf_eff.py per-bin variant)."""
+    from scipy.stats import chi2 as chi2_dist
+
+    with open(screen_file) as fin, open(out_file, "w") as fout:
+        head = fin.readline().strip()
+        fout.write(head + " chi_app p_app\n")
+        for line in fin:
+            arr = line.split()
+            deno = freq_deno[bins[int(arr[0])] * 10 + bins[int(arr[1])]]
+            chi_app = float(arr[-1]) ** 2 / deno
+            p_app = chi2_dist.sf(chi_app, 1)
+            fout.write(" ".join(arr + [str(chi_app), str(p_app)]) + "\n")
+
+
+def _remma_epi_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
+                   snp_lst_0=None, var_app=1.0, p_cut=1.0e-5,
+                   out_file="epi_eff"):
+    chi_cut = chi2_isf(p_cut, 1)
+    table = np.full(111, np.sqrt(chi_cut * var_app))
+    geno, _, _ = prepare_genotypes(bed_prefix)
+    bins = np.zeros(geno.shape[1], dtype=np.int64)
+    deno = np.full(111, var_app)
+    tmp = out_file + ".temp"
+    _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
+                   snp_lst_0, table, bins, tmp)
+    _append_approx_p(tmp, out_file, bins, deno)
+    os.remove(tmp)
+    return 0
+
+
+def _remma_epi_maf_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
+                       snp_lst_0=None, freq_bins=None, freq_deno=None,
+                       p_cut=1.0e-5, out_file="epi_maf_eff"):
+    chi_cut = chi2_isf(p_cut, 1)
+    geno, _, _ = prepare_genotypes(bed_prefix)
+    if freq_bins is None:
+        freq_bins = np.zeros(geno.shape[1], dtype=np.int64)
+    if freq_deno is None:
+        freq_deno = np.ones(111)
+    table = np.sqrt(chi_cut * np.asarray(freq_deno))
+    tmp = out_file + ".temp"
+    _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
+                   snp_lst_0, table, freq_bins, tmp)
+    _append_approx_p(tmp, out_file, freq_bins, np.asarray(freq_deno))
+    return 0
+
+
+# public *_eff wrappers -------------------------------------------------------
+
+def remma_epiAA_eff(pheno_file, bed_prefix, gmat_lst, var_com, snp_lst_0=None,
+                    var_app=1.0, p_cut=1.0e-5, out_file="epiAA_eff"):
+    return _remma_epi_eff("AA", pheno_file, bed_prefix, gmat_lst, var_com,
+                          snp_lst_0, var_app, p_cut, out_file)
+
+
+def remma_epiAD_eff(pheno_file, bed_prefix, gmat_lst, var_com, snp_lst_0=None,
+                    var_app=1.0, p_cut=1.0e-5, out_file="epiAD_eff"):
+    return _remma_epi_eff("AD", pheno_file, bed_prefix, gmat_lst, var_com,
+                          snp_lst_0, var_app, p_cut, out_file)
+
+
+def remma_epiDD_eff(pheno_file, bed_prefix, gmat_lst, var_com, snp_lst_0=None,
+                    var_app=1.0, p_cut=1.0e-5, out_file="epiDD_eff"):
+    return _remma_epi_eff("DD", pheno_file, bed_prefix, gmat_lst, var_com,
+                          snp_lst_0, var_app, p_cut, out_file)
+
+
+def remma_epiAA_maf_eff(pheno_file, bed_prefix, gmat_lst, var_com,
+                        snp_lst_0=None, freq=None, freq_deno=None,
+                        p_cut=1.0e-5, out_file="epiAA_maf_eff"):
+    return _remma_epi_maf_eff("AA", pheno_file, bed_prefix, gmat_lst, var_com,
+                              snp_lst_0, freq, freq_deno, p_cut, out_file)
+
+
+def remma_epiAD_maf_eff(pheno_file, bed_prefix, gmat_lst, var_com,
+                        snp_lst_0=None, freq=None, freq_deno=None,
+                        p_cut=1.0e-5, out_file="epiAD_maf_eff"):
+    return _remma_epi_maf_eff("AD", pheno_file, bed_prefix, gmat_lst, var_com,
+                              snp_lst_0, freq, freq_deno, p_cut, out_file)
+
+
+def remma_epiDD_maf_eff(pheno_file, bed_prefix, gmat_lst, var_com,
+                        snp_lst_0=None, freq=None, freq_deno=None,
+                        p_cut=1.0e-5, out_file="epiDD_maf_eff"):
+    return _remma_epi_maf_eff("DD", pheno_file, bed_prefix, gmat_lst, var_com,
+                              snp_lst_0, freq, freq_deno, p_cut, out_file)
+
+
+# approximate pipelines -------------------------------------------------------
+
+def _pair_fn(kind):
+    from gmat_tpu.scan import pairs as pairs_mod
+
+    return getattr(pairs_mod, f"remma_epi{kind}_pair")
+
+
+def _random_pair_fn(kind, num_snp, out_file, num_pair, seed):
+    from gmat_tpu.scan.random_pair import random_pair, random_pairAD
+
+    if kind == "AD":
+        return random_pairAD(num_snp, out_file=out_file, num_pair=num_pair,
+                             seed=seed)
+    return random_pair(num_snp, out_file=out_file, num_pair=num_pair,
+                       seed=seed)
+
+
+def _merge_approx_exact(approx_file, exact_file, out_file):
+    """Insert the approx p column before the exact p (reference
+    remma_epiAA_approx.py:40-52)."""
+    p_dct = {}
+    with open(approx_file) as fin:
+        for line in fin:
+            arr = line.split()
+            p_dct[" ".join(arr[:2])] = arr[-1]
+    with open(exact_file) as fin, open(out_file, "w") as fout:
+        for line in fin:
+            arr = line.split()
+            arr.insert(-1, p_dct[" ".join(arr[:2])])
+            fout.write(" ".join(arr) + "\n")
+
+
+def _remma_epi_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
+                      p_cut=1.0e-5, num_random_pair=100000,
+                      out_file="epi_approx", snp_lst_0=None, seed=0):
+    from gmat_tpu.io.bed import read_bim
+
+    num_snp = len(read_bim(bed_prefix + ".bim"))
+    logger.info("Random calibration: %d pairs", num_random_pair)
+    rp = out_file + ".random_pair"
+    _random_pair_fn(kind, num_snp, rp, num_random_pair, seed)
+    pair_fn = _pair_fn(kind)
+    pair_fn(pheno_file, bed_prefix, gmat_lst, var_com, snp_pair_file=rp,
+            p_cut=1.1, out_file=out_file + ".random")
+    res_df = pd.read_csv(out_file + ".random", header=0, sep=r"\s+")
+    var_median = float(np.median(res_df["var"]))
+    os.remove(rp)
+    os.remove(out_file + ".random")
+    logger.info("Approximate effect variance (median): %g", var_median)
+    _remma_epi_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
+                   snp_lst_0=snp_lst_0, var_app=var_median, p_cut=p_cut,
+                   out_file=out_file + ".approx_p")
+    logger.info("Exact re-test of survivors")
+    pair_fn(pheno_file, bed_prefix, gmat_lst, var_com,
+            snp_pair_file=out_file + ".approx_p", p_cut=1.1,
+            out_file=out_file + ".exact_p")
+    _merge_approx_exact(out_file + ".approx_p", out_file + ".exact_p", out_file)
+    os.remove(out_file + ".approx_p")
+    os.remove(out_file + ".exact_p")
+    return 0
+
+
+def _remma_epi_maf_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
+                          p_cut=1.0e-5, num_random_pair=100000,
+                          out_file="epi_maf_approx", snp_lst_0=None, seed=0):
+    from gmat_tpu.io.bed import read_bim
+
+    num_snp = len(read_bim(bed_prefix + ".bim"))
+    rp = out_file + ".random_pair"
+    _random_pair_fn(kind, num_snp, rp, num_random_pair, seed)
+    pair_fn = _pair_fn(kind)
+    pair_fn(pheno_file, bed_prefix, gmat_lst, var_com, snp_pair_file=rp,
+            p_cut=1.1, out_file=out_file + ".random")
+    os.remove(rp)
+    geno, _, _ = prepare_genotypes(bed_prefix)
+    freq, bins = _maf_bins(geno)
+    np.savetxt(out_file + ".freq", freq)
+    # per-bin-pair mean variance with global-mean fallback (reference
+    # remma_epiAA_maf_approx.py:43-70 — "median" in name, mean in math)
+    res_df = pd.read_csv(out_file + ".random", header=0, sep=r"\s+")
+    os.remove(out_file + ".random")
+    b0 = bins[res_df["snp_0"].to_numpy(dtype=np.int64)]
+    b1 = bins[res_df["snp_1"].to_numpy(dtype=np.int64)]
+    v = res_df["var"].to_numpy()
+    sums = np.zeros(111)
+    counts = np.zeros(111)
+    for bb0, bb1, vv in zip(b0, b1, v):
+        for key in (bb0 * 10 + bb1, bb1 * 10 + bb0):
+            sums[key] += vv
+            counts[key] += 1
+    global_mean = sums.sum() / counts.sum()
+    freq_deno = np.where(counts > 0, sums / np.maximum(counts, 1), global_mean)
+    freq_deno[counts == 0] = global_mean
+    present = np.unique(bins)
+    with open(out_file + ".freq_denominator", "w") as fout:
+        for k1 in present:
+            for k2 in present:
+                fout.write(f"{k1} {k2} {freq_deno[k1 * 10 + k2]}\n")
+    _remma_epi_maf_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
+                       snp_lst_0=snp_lst_0, freq_bins=bins,
+                       freq_deno=freq_deno, p_cut=p_cut,
+                       out_file=out_file + ".approx_p")
+    pair_fn(pheno_file, bed_prefix, gmat_lst, var_com,
+            snp_pair_file=out_file + ".approx_p", p_cut=1.1,
+            out_file=out_file + ".exact_p")
+    _merge_approx_exact(out_file + ".approx_p", out_file + ".exact_p", out_file)
+    os.remove(out_file + ".approx_p")
+    os.remove(out_file + ".exact_p")
+    return 0
+
+
+def remma_epiAA_approx(pheno_file, bed_prefix, gmat_lst, var_com,
+                       p_cut=1.0e-5, num_random_pair=100000,
+                       out_file="epiAA_approx", seed=0):
+    """Flagship fast pipeline: calibrate -> screen -> exact re-test -> merge."""
+    return _remma_epi_approx("AA", pheno_file, bed_prefix, gmat_lst, var_com,
+                             p_cut, num_random_pair, out_file, seed=seed)
+
+
+def remma_epiAD_approx(pheno_file, bed_prefix, gmat_lst, var_com,
+                       p_cut=1.0e-5, num_random_pair=100000,
+                       out_file="epiAD_approx", seed=0):
+    return _remma_epi_approx("AD", pheno_file, bed_prefix, gmat_lst, var_com,
+                             p_cut, num_random_pair, out_file, seed=seed)
+
+
+def remma_epiDD_approx(pheno_file, bed_prefix, gmat_lst, var_com,
+                       p_cut=1.0e-5, num_random_pair=100000,
+                       out_file="epiDD_approx", seed=0):
+    return _remma_epi_approx("DD", pheno_file, bed_prefix, gmat_lst, var_com,
+                             p_cut, num_random_pair, out_file, seed=seed)
+
+
+def remma_epiAA_maf_approx(pheno_file, bed_prefix, gmat_lst, var_com,
+                           p_cut=1.0e-5, num_random_pair=100000,
+                           out_file="epiAA_maf_approx", seed=0):
+    return _remma_epi_maf_approx("AA", pheno_file, bed_prefix, gmat_lst,
+                                 var_com, p_cut, num_random_pair, out_file,
+                                 seed=seed)
+
+
+def remma_epiAD_maf_approx(pheno_file, bed_prefix, gmat_lst, var_com,
+                           p_cut=1.0e-5, num_random_pair=100000,
+                           out_file="epiAD_maf_approx", seed=0):
+    return _remma_epi_maf_approx("AD", pheno_file, bed_prefix, gmat_lst,
+                                 var_com, p_cut, num_random_pair, out_file,
+                                 seed=seed)
+
+
+def remma_epiDD_maf_approx(pheno_file, bed_prefix, gmat_lst, var_com,
+                           p_cut=1.0e-5, num_random_pair=100000,
+                           out_file="epiDD_maf_approx", seed=0):
+    return _remma_epi_maf_approx("DD", pheno_file, bed_prefix, gmat_lst,
+                                 var_com, p_cut, num_random_pair, out_file,
+                                 seed=seed)
+
+
+def _remma_epi_eff_parallel(kind, pheno_file, bed_prefix, gmat_lst, var_com,
+                            parallel, var_app=1.0, p_cut=1.0e-5,
+                            out_file="epi_eff_parallel"):
+    from gmat_tpu.io.bed import read_bim
+
+    num_snp = len(read_bim(bed_prefix + ".bim"))
+    snp_lst_0 = balanced_anchor_split(num_snp, parallel[0], parallel[1])
+    return _remma_epi_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
+                          snp_lst_0, var_app, p_cut,
+                          f"{out_file}.{parallel[1]}")
+
+
+def remma_epiAA_eff_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
+                             parallel, var_app=1.0, p_cut=1.0e-5,
+                             out_file="epiAA_eff_parallel"):
+    return _remma_epi_eff_parallel("AA", pheno_file, bed_prefix, gmat_lst,
+                                   var_com, parallel, var_app, p_cut, out_file)
+
+
+def remma_epiAD_eff_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
+                             parallel, var_app=1.0, p_cut=1.0e-5,
+                             out_file="epiAD_eff_parallel"):
+    return _remma_epi_eff_parallel("AD", pheno_file, bed_prefix, gmat_lst,
+                                   var_com, parallel, var_app, p_cut, out_file)
+
+
+def remma_epiDD_eff_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
+                             parallel, var_app=1.0, p_cut=1.0e-5,
+                             out_file="epiDD_eff_parallel"):
+    return _remma_epi_eff_parallel("DD", pheno_file, bed_prefix, gmat_lst,
+                                   var_com, parallel, var_app, p_cut, out_file)
+
+
+def remma_epiAA_approx_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
+                                parallel, p_cut=1.0e-5,
+                                num_random_pair=100000,
+                                out_file="epiAA_approx", seed=0):
+    from gmat_tpu.io.bed import read_bim
+
+    num_snp = len(read_bim(bed_prefix + ".bim"))
+    snp_lst_0 = balanced_anchor_split(num_snp, parallel[0], parallel[1])
+    return _remma_epi_approx(
+        "AA", pheno_file, bed_prefix, gmat_lst, var_com, p_cut,
+        num_random_pair, f"{out_file}.{parallel[1]}", snp_lst_0=snp_lst_0,
+        seed=seed + parallel[1],
+    )

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Headline benchmark: epiAA effect-screen throughput (SNP-pairs/s).
+
+Runs the f32 MXU screen GEMM — the TPU-native equivalent of the reference's
+C/OpenMP `remma_epiAA_eff_cpu` kernel (_remma_epi_eff_cpu.c:91-137) — on a
+mouse-sized cohort (n=1304 individuals) with a synthetic 16384-SNP panel
+(134M pairs), anchor-tiled exactly like the production screen
+(gmat_tpu/scan/screen.py).  `vs_baseline` compares against the reference C
+kernel measured on this host (tools/bench_reference.py -> bench_baseline.json).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).parent
+
+N_ID = 1304
+N_SNP = 16384
+TILE = 512
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    freqs = rng.uniform(0.05, 0.95, size=N_SNP)
+    geno = rng.binomial(2, freqs[None, :], size=(N_ID, N_SNP)).astype(np.float32)
+    p_hat = geno.sum(0) / (2 * N_ID)
+    mat = np.asarray(geno - 2 * p_hat[None, :], dtype=np.float32)
+    py = (rng.standard_normal(N_ID) * 0.1).astype(np.float32)
+    cut = np.float32(1.0e9)  # no hits: pure scan cost, same as the C baseline
+
+    mat_d = jax.device_put(jnp.asarray(mat))
+    py_d = jax.device_put(jnp.asarray(py))
+
+    # ONE compiled program: lax.map over anchor tiles, scalar out.  Per-tile
+    # host dispatch through the device tunnel costs ~30-60 ms RTT, so the
+    # whole sweep must be a single dispatch + a single 8-byte fetch.
+    @jax.jit
+    def screen_all(m, py_):
+        j_ids = jnp.arange(N_SNP, dtype=jnp.int32)
+
+        def tile_fn(start):
+            ids = jax.lax.dynamic_slice_in_dim(j_ids, start, TILE)
+            s = (m[:, ids] * py_[:, None]).T @ m
+            hit = (jnp.abs(s) > cut) & (j_ids[None, :] > ids[:, None])
+            return jnp.sum(hit)
+
+        starts = jnp.arange(0, N_SNP, TILE, dtype=jnp.int32)
+        return jnp.sum(jax.lax.map(tile_fn, starts))
+
+    int(screen_all(mat_d, py_d))  # compile + warmup
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        total = int(screen_all(mat_d, py_d))
+    dt = (time.perf_counter() - t0) / reps
+    assert total == 0
+
+    pairs = N_SNP * (N_SNP - 1) // 2
+    pairs_per_s = pairs / dt
+
+    base_file = ROOT / "bench_baseline.json"
+    vs = None
+    if base_file.exists():
+        base = json.loads(base_file.read_text())
+        vs = pairs_per_s / base["reference_epiAA_screen_pairs_per_s"]
+    print(
+        json.dumps(
+            {
+                "metric": "epiAA_screen_pairs_per_s",
+                "value": round(pairs_per_s, 1),
+                "unit": "pairs/s",
+                "vs_baseline": round(vs, 2) if vs is not None else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Balanced longitudinal GWAS (fixed + trans) vs reference golden fixtures."""
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gmat_tpu.longwas.balance_gwas import (
+    balance_longwas_fixed,
+    balance_longwas_trans,
+)
+
+from conftest import DATA, GOLDEN
+
+ML = DATA / "mouse_long"
+TPOINT = np.array(range(16)) + 1.0
+TRAIT = list(range(2, 18))
+SNPS = list(range(30))
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    from gmat_tpu.grm.grm import agmat
+
+    tmp = tmp_path_factory.mktemp("mlg")
+    prefix = str(tmp / "plink")
+    for ext in (".bed", ".bim", ".fam"):
+        shutil.copy(str(ML / ("plink" + ext)), prefix + ext)
+    agmat(prefix, inv=False, out_fmt="id_id_val")
+    gold_var = np.load(GOLDEN / "longwas_balance_var.npz")
+    var_df = pd.DataFrame(
+        {"vari": gold_var["vari"], "varij": gold_var["varij"],
+         "varik": gold_var["varik"], "var_val": gold_var["var_val"]}
+    )
+    return prefix + ".agrm2", var_df, tmp
+
+
+def _gold(which):
+    g = np.load(GOLDEN / "longwas_balance_gwas.npz")
+    return pd.DataFrame(g[which], columns=list(g[which + "_cols"]))
+
+
+def test_trans_golden(setup, tmp_path):
+    kin_file, var_df, _ = setup
+    res = balance_longwas_trans(
+        str(ML / "phe.balance.txt"), "ID", TPOINT, TRAIT, kin_file,
+        str(ML / "plink"), var_df, snp_lst=SNPS,
+        prefix_outfile=str(tmp_path / "btrans"),
+    )
+    want = _gold("trans")
+    for col in ("eff0", "eff1", "eff2", "eff3", "chi_val"):
+        np.testing.assert_allclose(res[col], want[col], rtol=1e-5, atol=1e-10,
+                                   err_msg=col)
+    np.testing.assert_allclose(res["p_val"], want["p_val"], rtol=1e-4,
+                               atol=1e-12)
+    np.testing.assert_allclose(res["p_min"], want["p_min"], rtol=1e-4,
+                               atol=1e-12)
+    np.testing.assert_allclose(res["p_accum"], want["p_accum"], rtol=1e-4,
+                               atol=1e-12)
+
+
+def test_fixed_golden(setup, tmp_path):
+    kin_file, var_df, _ = setup
+    res = balance_longwas_fixed(
+        str(ML / "phe.balance.txt"), "ID", TPOINT, TRAIT, kin_file,
+        str(ML / "plink"), var_df, snp_lst=SNPS,
+        prefix_outfile=str(tmp_path / "bfix"), snp_batch=16,
+    )
+    want = _gold("fixed")
+    np.testing.assert_allclose(res["chi_val"], want["chi_val"], rtol=1e-3,
+                               err_msg="chi")
+    np.testing.assert_allclose(res["p_val"], want["p_val"], rtol=1e-3,
+                               atol=1e-12)
+    for col in ("eff0", "eff1", "eff2", "eff3"):
+        np.testing.assert_allclose(res[col], want[col], rtol=1e-3, atol=1e-8,
+                                   err_msg=col)

@@ -73,4 +73,49 @@ def load_reference():
     ns.remma_epiDD = _load(
         "gmat.remma.remma_epiDD.remma_epiDD", REF / "remma" / "remma_epiDD" / "remma_epiDD.py"
     )
+
+    # longwas: real package machinery with __path__ pointed at the reference
+    # tree so the modules' relative imports resolve; plus compat shims for
+    # the removed np.math alias and the absent patsy dependency.
+    import importlib
+    import math as _math
+
+    if not hasattr(_np, "math"):
+        _np.math = _math
+    from scipy import linalg as _sla
+
+    if not hasattr(_sla, "kron"):  # removed from scipy.linalg; reference uses it
+        _sla.kron = _np.kron
+    if "patsy" not in sys.modules:
+        patsy_stub = types.ModuleType("patsy")
+
+        def _no_patsy(*a, **k):
+            raise RuntimeError("patsy stub: only fix=None supported in oracle")
+
+        patsy_stub.dmatrix = _no_patsy
+        sys.modules["patsy"] = patsy_stub
+    for name, sub in (("gmat.longwas", ""), ("gmat.longwas.balance", "balance"),
+                      ("gmat.longwas.unbalance", "unbalance")):
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [str(REF / "longwas" / sub)]
+            sys.modules[name] = pkg
+    ns.balance_varcom = importlib.import_module(
+        "gmat.longwas.balance.balance_varcom"
+    )
+    ns.balance_longwas_fixed = importlib.import_module(
+        "gmat.longwas.balance.balance_longwas_fixed"
+    )
+    ns.balance_longwas_trans = importlib.import_module(
+        "gmat.longwas.balance.balance_longwas_trans"
+    )
+    ns.unbalance_varcom = importlib.import_module(
+        "gmat.longwas.unbalance.unbalance_varcom"
+    )
+    ns.unbalance_longwas_fixed = importlib.import_module(
+        "gmat.longwas.unbalance.unbalance_longwas_fixed"
+    )
+    ns.unbalance_longwas_trans = importlib.import_module(
+        "gmat.longwas.unbalance.unbalance_longwas_trans"
+    )
     return ns

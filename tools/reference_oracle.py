@@ -100,6 +100,20 @@ def load_reference():
             pkg = types.ModuleType(name)
             pkg.__path__ = [str(REF / "longwas" / sub)]
             sys.modules[name] = pkg
+    sys.modules["gmat.uvlmm"].__path__ = [str(REF / "uvlmm")]
+    pkg = types.ModuleType("gmat.uvlmm.varcom")
+    pkg.__path__ = [str(REF / "uvlmm" / "varcom")]
+    sys.modules["gmat.uvlmm.varcom"] = pkg
+    ns.uvlmm_varcom_eigen = _load(
+        "gmat.uvlmm.uvlmm_varcom_eigen", REF / "uvlmm" / "uvlmm_varcom_eigen.py"
+    )
+    ns.uvlmm_gwas = _load("gmat.uvlmm.uvlmm_gwas", REF / "uvlmm" / "uvlmm_gwas.py")
+    from tqdm import tqdm as _tqdm
+
+    ns.uvlmm_gwas.tdqm = _tqdm  # reference typo'd tqdm as tdqm (uvlmm_gwas.py:44)
+    ns.varcom_em = _load("gmat.uvlmm.varcom.em", REF / "uvlmm" / "varcom" / "em.py")
+    ns.varcom_em.cc_gra = 1.0e-6  # undefined global in the reference (em.py:160)
+    ns.lm = _load("gmat.uvlmm.lm", REF / "uvlmm" / "lm.py")
     ns.balance_varcom = importlib.import_module(
         "gmat.longwas.balance.balance_varcom"
     )

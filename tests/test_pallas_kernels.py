@@ -1,0 +1,62 @@
+"""Pallas screen kernel vs the f64 oracle (interpret mode on the CPU mesh)."""
+import numpy as np
+import pytest
+
+from gmat_tpu.scan.kernels import (
+    TILE,
+    extract_tile_hits,
+    pallas_screen,
+    pallas_screen_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def problem(rng):
+    n, m = 96, 1100  # m deliberately not a TILE multiple
+    geno = rng.choice([0.0, 1.0, 2.0], size=(n, m))
+    freq = geno.sum(0) / (2 * n)
+    mat = (geno - 2 * freq[None, :]).astype(np.float32)
+    py = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    eff = (mat * py[:, None]).T @ mat
+    return mat, py, eff
+
+
+def test_counts_match_oracle(problem):
+    import jax.numpy as jnp
+
+    mat, py, eff = problem
+    m = mat.shape[1]
+    cut = np.quantile(np.abs(eff[np.triu_indices(m, 1)]), 0.995)
+    counts = np.asarray(
+        pallas_screen_counts(jnp.asarray(mat), jnp.asarray(py), cut,
+                             interpret=True)
+    )
+    mask = (np.abs(eff) > cut) & (np.arange(m)[None, :] > np.arange(m)[:, None])
+    m_pad = ((m + TILE - 1) // TILE) * TILE
+    maskp = np.zeros((m_pad, m_pad), bool)
+    maskp[:m, :m] = mask
+    want = maskp.reshape(m_pad // TILE, TILE, m_pad // TILE, TILE).sum((1, 3))
+    np.testing.assert_array_equal(counts, want)
+
+
+def test_two_phase_hits_match_oracle(problem):
+    mat, py, eff = problem
+    m = mat.shape[1]
+    cut = np.quantile(np.abs(eff[np.triu_indices(m, 1)]), 0.999)
+    i0, i1, e = pallas_screen(mat, py, cut, interpret=True)
+    want = {
+        (a, b)
+        for a, b in zip(*np.where(
+            (np.abs(eff) > cut)
+            & (np.arange(m)[None, :] > np.arange(m)[:, None])
+        ))
+    }
+    assert set(zip(i0.tolist(), i1.tolist())) == want
+    for a, b, ee in zip(i0[:20], i1[:20], e[:20]):
+        assert abs(ee - eff[a, b]) < 1e-4 * max(1.0, abs(eff[a, b]))
+
+
+def test_no_hits_and_padding_tiles(problem):
+    mat, py, _ = problem
+    i0, i1, e = pallas_screen(mat, py, 1e9, interpret=True)
+    assert len(i0) == 0

@@ -139,3 +139,27 @@ def test_legacy_api(tmp_path, mouse_geno, mouse_pheno, mouse_prefix):
                            out_file=str(tmp_path / "sel"))
     rows = np.loadtxt(str(tmp_path / "sel"), skiprows=1)
     assert rows.shape == (6, 6)
+
+
+def test_remmax_pipeline(tmp_path, mouse_pheno, mouse_prefix):
+    import shutil
+
+    from gmat_tpu.pipeline.remmax import remmax
+
+    prefix = str(tmp_path / "plink")
+    for ext in (".bed", ".bim", ".fam"):
+        shutil.copy(mouse_prefix + ext, prefix + ext)
+    out = str(tmp_path / "rx")
+    res = remmax(mouse_pheno, prefix, out_prefix=out, scan="epiAA_approx",
+                 p_cut=1e-4, num_random_pair=20000, maxiter=50)
+    np.testing.assert_allclose(
+        res.var_com, [0.06289206, 0.07641075, 0.08121168], rtol=1e-4
+    )
+    assert set(res.timings) == {"grm", "reml", "scan", "annotate"}
+    rows = np.loadtxt(res.scan_file, skiprows=1, ndmin=2)
+    assert rows.shape[1] == 7 and len(rows) > 0
+    assert len(open(res.anno_file).readlines()) > 1
+    # resume skips REML
+    res2 = remmax(mouse_pheno, prefix, out_prefix=out, scan="add",
+                  maxiter=50)
+    assert res2.timings["reml"] == 0.0

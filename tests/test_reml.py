@@ -66,3 +66,16 @@ def test_wemai_file_wrapper(tmp_path, mouse_pheno, mouse_prefix, grms):
     var = wemai_multi_gmat(mouse_pheno, mouse_prefix, [ag, ag * ag], out_file=out)
     disk = np.loadtxt(out)
     np.testing.assert_allclose(disk, var, rtol=1e-12)
+
+
+def test_reml_repeated_measures(mouse_prefix, grms):
+    """yeast-style config [ag, ag*ag, pe] with repeated records per individual
+    (BASELINE.md target 1; pe = identity over individuals)."""
+    gold = np.load(GOLDEN / "reml_repeat.npz")
+    ag, _ = grms
+    pe = np.eye(ag.shape[0])
+    dm = design_matrix(str(GOLDEN.parent / "data" / "pheno_repeat"),
+                       mouse_prefix)
+    assert dm.n_rec == int(gold["n_rec"]) and dm.n_rec > ag.shape[0]
+    var = wemai_reml(dm, [ag, ag * ag, pe])
+    np.testing.assert_allclose(var, gold["var"], rtol=1e-6, atol=1e-10)

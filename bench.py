@@ -38,30 +38,31 @@ def main():
     py = (rng.standard_normal(N_ID) * 0.1).astype(np.float32)
     cut = np.float32(1.0e9)  # no hits: pure scan cost, same as the C baseline
 
+    # the PRODUCTION phase-1 screen (gmat_tpu/scan/screen.py): one compiled
+    # lax.map over anchor tiles -> per-tile count vector.  Per-tile host
+    # dispatch through the device tunnel costs ~30-60 ms RTT, so the whole
+    # sweep is a single dispatch + one small fetch.
+    from gmat_tpu.scan.screen import _screen_counts_all
+
     mat_d = jax.device_put(jnp.asarray(mat))
     py_d = jax.device_put(jnp.asarray(py))
+    anchors = jnp.arange(N_SNP, dtype=jnp.int32)
+    bins = jnp.zeros(N_SNP, dtype=jnp.int32)
+    table = jnp.full(111, cut, dtype=jnp.float32)
 
-    # ONE compiled program: lax.map over anchor tiles, scalar out.  Per-tile
-    # host dispatch through the device tunnel costs ~30-60 ms RTT, so the
-    # whole sweep must be a single dispatch + a single 8-byte fetch.
-    @jax.jit
-    def screen_all(m, py_):
-        j_ids = jnp.arange(N_SNP, dtype=jnp.int32)
+    def run():
+        return int(
+            jnp.sum(
+                _screen_counts_all(anchors, mat_d, mat_d, py_d, bins, table,
+                                   "tri", TILE)
+            )
+        )
 
-        def tile_fn(start):
-            ids = jax.lax.dynamic_slice_in_dim(j_ids, start, TILE)
-            s = (m[:, ids] * py_[:, None]).T @ m
-            hit = (jnp.abs(s) > cut) & (j_ids[None, :] > ids[:, None])
-            return jnp.sum(hit)
-
-        starts = jnp.arange(0, N_SNP, TILE, dtype=jnp.int32)
-        return jnp.sum(jax.lax.map(tile_fn, starts))
-
-    int(screen_all(mat_d, py_d))  # compile + warmup
+    total = run()  # compile + warmup
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        total = int(screen_all(mat_d, py_d))
+        total = run()
     dt = (time.perf_counter() - t0) / reps
     assert total == 0
 

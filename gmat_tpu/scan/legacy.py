@@ -203,11 +203,9 @@ def remma_epiAA_eff_cpu(y, xmat, zmat, gmat_lst, var_com, bed_file,
     py = pieces.pymat.astype(jnp.float32)
     anchors = list(range(m - 1)) if snp_lst_0 is None else list(snp_lst_0)
     cut = max(float(eff_cut), 0.0)
-
-    def cut_fn(anchor_ids):
-        return jnp.full((len(anchor_ids), m), cut, dtype=jnp.float32)
-
-    i0, i1, eff = _run_screen(mat, mat, py, anchors, cut_fn, "tri", 256)
+    bins = np.zeros(m, dtype=np.int64)
+    table = np.full(111, cut, dtype=np.float32)
+    i0, i1, eff = _run_screen(mat, mat, py, anchors, bins, table, "tri", 256)
     with open(out_file, "w") as f:
         f.write("snp_0 snp_1 eff\n")
         for a, b, e in zip(i0, i1, eff):

@@ -66,17 +66,77 @@ def _screen_tile(a_cols, a_idx, b_mat, py, cut_rows, mask_mode, cap=_HIT_CAP):
     return count, a_idx[rows], cols, s[rows, cols]
 
 
-def _run_screen(a_mat, b_mat, pymat, anchors, cut_fn, mask_mode, tile,
+def _cut_rows(table, bins, anchor_ids):
+    """(TA, m) per-pair |eff| thresholds from the bin-pair table."""
+    return table[bins[anchor_ids][:, None] * 10 + bins[None, :]]
+
+
+def _bin_table_11(table):
+    """(11, 11) view of the flat bin-pair table (index = bin_i*10 + bin_j,
+    reference layout incl. its (0,10)/(1,0) collision)."""
+    idx = jnp.arange(11)[:, None] * 10 + jnp.arange(11)[None, :]
+    return table[idx]
+
+
+@partial(jax.jit, static_argnames=("mask_mode", "tile"))
+def _screen_counts_all(anchors_padded, a_mat, b_mat, py, bins, table,
+                       mask_mode, tile):
+    """Phase 1: hit counts for every anchor tile in ONE dispatch.
+
+    On tunneled/remote devices each dispatch costs a full round trip, so the
+    whole sweep is a lax.map over tiles returning a tiny per-tile count
+    vector; only non-empty tiles are revisited for extraction.
+
+    TPU notes: anchor columns are gathered ONCE up front (per-tile column
+    gathers are strided and slow), and per-pair thresholds come from the
+    bin-pair table via one-hot matmuls (an 8M-element table gather per tile
+    costs more than the screen GEMM itself)."""
+    dtype = a_mat.dtype
+    j_ids = jnp.arange(b_mat.shape[1], dtype=jnp.int32)[None, :]
+    n_tiles = anchors_padded.shape[0] // tile
+    a_gath = a_mat[:, anchors_padded] * py[:, None]  # one gather + scale
+    bins_anchor = bins[anchors_padded]
+    t2 = _bin_table_11(table).astype(dtype)  # (11, 11)
+    onehot_p = jax.nn.one_hot(bins, 11, dtype=dtype)  # (m, 11)
+    t2_p = t2 @ onehot_p.T  # (11, m)
+
+    def tile_fn(t):
+        a = jax.lax.dynamic_slice_in_dim(a_gath, t * tile, tile, axis=1)
+        ids = jax.lax.dynamic_slice_in_dim(anchors_padded, t * tile, tile)
+        ba = jax.lax.dynamic_slice_in_dim(bins_anchor, t * tile, tile)
+        s = a.T @ b_mat
+        cuts = jax.nn.one_hot(ba, 11, dtype=dtype) @ t2_p  # (tile, m)
+        if mask_mode == "tri":
+            valid = j_ids > ids[:, None]
+        else:
+            valid = j_ids != ids[:, None]
+        return jnp.sum((jnp.abs(s) > cuts) & valid)
+
+    return jax.lax.map(tile_fn, jnp.arange(n_tiles, dtype=jnp.int32))
+
+
+def _run_screen(a_mat, b_mat, pymat, anchors, bins, table, mask_mode, tile,
                 flip_output=False):
-    """Host driver: tiles anchors, compacts hits; returns (i, j, eff) arrays."""
-    out_i, out_j, out_e = [], [], []
+    """Two-phase host driver: one counts dispatch, then per-non-empty-tile
+    extraction; returns (i, j, eff) arrays."""
     anchors = np.asarray(anchors, dtype=np.int32)
-    for start in range(0, len(anchors), tile):
+    n_tiles = -(-len(anchors) // tile)
+    padded_all = np.pad(anchors, (0, n_tiles * tile - len(anchors)),
+                        constant_values=anchors[-1])
+    bins_d = jnp.asarray(bins, dtype=jnp.int32)
+    table_d = jnp.asarray(table, dtype=a_mat.dtype)
+    counts = np.asarray(
+        _screen_counts_all(jnp.asarray(padded_all), a_mat, b_mat, pymat,
+                           bins_d, table_d, mask_mode, tile)
+    )
+    out_i, out_j, out_e = [], [], []
+    for t in np.nonzero(counts)[0]:
+        start = int(t) * tile
         batch = anchors[start:start + tile]
         pad = tile - len(batch)
-        padded = np.pad(batch, (0, pad), constant_values=batch[-1])
+        padded = padded_all[start:start + tile]
         a_cols = a_mat[:, padded]
-        cut_rows = cut_fn(padded)
+        cut_rows = _cut_rows(table_d, bins_d, jnp.asarray(padded))
         count, hi, hj, he = _screen_tile(
             a_cols, jnp.asarray(padded), b_mat, pymat, cut_rows, mask_mode
         )
@@ -135,14 +195,7 @@ def _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     a_full = a_full.astype(screen_dtype)
     d_full = d_full.astype(screen_dtype)
     bins = np.asarray(bins, dtype=np.int64)
-    table = np.asarray(eff_cut_table)
-
-    def cut_fn(anchor_ids):
-        # (TA, m) per-pair thresholds via the bin-pair table
-        return jnp.asarray(
-            table[bins[anchor_ids][:, None] * 10 + bins[None, :]]
-            .astype(screen_dtype)
-        )
+    table = np.asarray(eff_cut_table, dtype=screen_dtype)
 
     # AA/DD anchors stop at num_snp-2; AD's wrapper anchors over all SNPs
     # (reference remma_epiAD_eff.py:57) — the j>i mask empties the last one.
@@ -154,14 +207,17 @@ def _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
 
     anchors = list(snp_lst_0)
     if kind == "AA":
-        res = [_run_screen(a_full, a_full, py, anchors, cut_fn, "tri", tile)]
+        res = [_run_screen(a_full, a_full, py, anchors, bins, table, "tri",
+                           tile)]
     elif kind == "DD":
-        res = [_run_screen(d_full, d_full, py, anchors, cut_fn, "tri", tile)]
+        res = [_run_screen(d_full, d_full, py, anchors, bins, table, "tri",
+                           tile)]
     else:  # AD: both orientations, j > i (C kernel :233-247)
         res = [
-            _run_screen(a_full, d_full, py, anchors, cut_fn, "tri", tile),
-            _run_screen(d_full, a_full, py, anchors, cut_fn, "tri", tile,
-                        flip_output=True),
+            _run_screen(a_full, d_full, py, anchors, bins, table, "tri",
+                        tile),
+            _run_screen(d_full, a_full, py, anchors, bins, table, "tri",
+                        tile, flip_output=True),
         ]
     idx0 = np.concatenate([r[0] for r in res])
     idx1 = np.concatenate([r[1] for r in res])

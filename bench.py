@@ -23,7 +23,7 @@ ROOT = Path(__file__).parent
 
 N_ID = 1304
 N_SNP = 16384
-TILE = 512
+TILE = 2048
 
 
 def main():
@@ -42,19 +42,21 @@ def main():
     # lax.map over anchor tiles -> per-tile count vector.  Per-tile host
     # dispatch through the device tunnel costs ~30-60 ms RTT, so the whole
     # sweep is a single dispatch + one small fetch.
-    from gmat_tpu.scan.screen import _screen_counts_all
+    from gmat_tpu.scan.screen import _screen_counts_all, _tile_worklist
 
     mat_d = jax.device_put(jnp.asarray(mat))
     py_d = jax.device_put(jnp.asarray(py))
-    anchors = jnp.arange(N_SNP, dtype=jnp.int32)
+    anchors = np.arange(N_SNP, dtype=np.int32)
+    work = jnp.asarray(_tile_worklist(anchors, N_SNP, "tri", TILE))
+    anchors_d = jnp.asarray(anchors)
     bins = jnp.zeros(N_SNP, dtype=jnp.int32)
     table = jnp.full(111, cut, dtype=jnp.float32)
 
     def run():
         return int(
             jnp.sum(
-                _screen_counts_all(anchors, mat_d, mat_d, py_d, bins, table,
-                                   "tri", TILE)
+                _screen_counts_all(anchors_d, mat_d, mat_d, py_d, bins,
+                                   table, work, "tri", TILE)
             )
         )
 

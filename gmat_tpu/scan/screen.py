@@ -78,41 +78,73 @@ def _bin_table_11(table):
     return table[idx]
 
 
+def _tile_worklist(anchors: np.ndarray, m: int, mask_mode: str,
+                   tile: int) -> np.ndarray:
+    """Host-side (anchor-tile, partner-tile) work list.
+
+    For triangular scans, partner tiles entirely left of a tile's smallest
+    anchor contain no j > i pairs and are dropped — for a full scan this
+    halves the GEMM work (the reference's C kernel gets the same effect from
+    its j = i+1 loop start)."""
+    n_tiles = len(anchors) // tile
+    p_tiles = -(-m // tile)
+    min_ids = anchors.reshape(n_tiles, tile).min(axis=1)
+    work = [
+        (t, pt)
+        for t in range(n_tiles)
+        for pt in range(p_tiles)
+        if mask_mode != "tri" or (pt + 1) * tile - 1 > min_ids[t]
+    ]
+    return np.asarray(work, dtype=np.int32).reshape(-1, 2)
+
+
 @partial(jax.jit, static_argnames=("mask_mode", "tile"))
 def _screen_counts_all(anchors_padded, a_mat, b_mat, py, bins, table,
-                       mask_mode, tile):
-    """Phase 1: hit counts for every anchor tile in ONE dispatch.
+                       worklist, mask_mode, tile):
+    """Phase 1: hit counts for every (anchor-tile, partner-tile) pair of the
+    work list in ONE dispatch.
 
     On tunneled/remote devices each dispatch costs a full round trip, so the
-    whole sweep is a lax.map over tiles returning a tiny per-tile count
-    vector; only non-empty tiles are revisited for extraction.
+    whole sweep is one lax.map returning a tiny per-pair count vector; only
+    non-empty anchor tiles are revisited for extraction.
 
     TPU notes: anchor columns are gathered ONCE up front (per-tile column
     gathers are strided and slow), and per-pair thresholds come from the
     bin-pair table via one-hot matmuls (an 8M-element table gather per tile
     costs more than the screen GEMM itself)."""
     dtype = a_mat.dtype
-    j_ids = jnp.arange(b_mat.shape[1], dtype=jnp.int32)[None, :]
-    n_tiles = anchors_padded.shape[0] // tile
+    m = b_mat.shape[1]
+    m_pad = -(-m // tile) * tile
+    if m_pad != m:
+        # pad partners with zero columns: |s| = 0 is never > a cut >= 0 with
+        # the strict comparison, so padding adds no hits
+        b_mat = jnp.pad(b_mat, ((0, 0), (0, m_pad - m)))
+        bins = jnp.pad(bins, (0, m_pad - m))
     a_gath = a_mat[:, anchors_padded] * py[:, None]  # one gather + scale
     bins_anchor = bins[anchors_padded]
     t2 = _bin_table_11(table).astype(dtype)  # (11, 11)
-    onehot_p = jax.nn.one_hot(bins, 11, dtype=dtype)  # (m, 11)
-    t2_p = t2 @ onehot_p.T  # (11, m)
+    t2_p = t2 @ jax.nn.one_hot(bins, 11, dtype=dtype).T  # (11, m_pad)
+    jt = jnp.arange(tile, dtype=jnp.int32)
 
-    def tile_fn(t):
+    def pair_fn(tp):
+        t, pt = tp[0], tp[1]
         a = jax.lax.dynamic_slice_in_dim(a_gath, t * tile, tile, axis=1)
         ids = jax.lax.dynamic_slice_in_dim(anchors_padded, t * tile, tile)
         ba = jax.lax.dynamic_slice_in_dim(bins_anchor, t * tile, tile)
-        s = a.T @ b_mat
-        cuts = jax.nn.one_hot(ba, 11, dtype=dtype) @ t2_p  # (tile, m)
+        pstart = pt * tile
+        b = jax.lax.dynamic_slice_in_dim(b_mat, pstart, tile, axis=1)
+        s = a.T @ b
+        cuts = jax.nn.one_hot(ba, 11, dtype=dtype) @ jax.lax.dynamic_slice_in_dim(
+            t2_p, pstart, tile, axis=1
+        )
+        j_ids = (pstart + jt)[None, :]
         if mask_mode == "tri":
             valid = j_ids > ids[:, None]
         else:
             valid = j_ids != ids[:, None]
         return jnp.sum((jnp.abs(s) > cuts) & valid)
 
-    return jax.lax.map(tile_fn, jnp.arange(n_tiles, dtype=jnp.int32))
+    return jax.lax.map(pair_fn, worklist)
 
 
 def _run_screen(a_mat, b_mat, pymat, anchors, bins, table, mask_mode, tile,
@@ -125,10 +157,14 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins, table, mask_mode, tile,
                         constant_values=anchors[-1])
     bins_d = jnp.asarray(bins, dtype=jnp.int32)
     table_d = jnp.asarray(table, dtype=a_mat.dtype)
-    counts = np.asarray(
+    work = _tile_worklist(padded_all, b_mat.shape[1], mask_mode, tile)
+    pair_counts = np.asarray(
         _screen_counts_all(jnp.asarray(padded_all), a_mat, b_mat, pymat,
-                           bins_d, table_d, mask_mode, tile)
+                           bins_d, table_d, jnp.asarray(work), mask_mode,
+                           tile)
     )
+    counts = np.zeros(n_tiles, dtype=np.int64)
+    np.add.at(counts, work[:, 0], pair_counts)
     out_i, out_j, out_e = [], [], []
     for t in np.nonzero(counts)[0]:
         start = int(t) * tile

@@ -38,27 +38,37 @@ def main():
     py = (rng.standard_normal(N_ID) * 0.1).astype(np.float32)
     cut = np.float32(1.0e9)  # no hits: pure scan cost, same as the C baseline
 
-    # the PRODUCTION phase-1 screen (gmat_tpu/scan/screen.py): one compiled
-    # lax.map over anchor tiles -> per-tile count vector.  Per-tile host
-    # dispatch through the device tunnel costs ~30-60 ms RTT, so the whole
-    # sweep is a single dispatch + one small fetch.
-    from gmat_tpu.scan.screen import _screen_counts_all, _tile_worklist
+    # Same math as the production phase-1 screen (gmat_tpu/scan/screen.py's
+    # triangular tile worklist), inlined with a constant threshold so the
+    # program is as small as possible: the tunnel's remote-compile service is
+    # flaky, and the benchmark must compile reliably.  One dispatch, one
+    # scalar fetch (per-tile host syncs cost ~30-60 ms RTT each here).
+    from gmat_tpu.scan.screen import _tile_worklist
 
     mat_d = jax.device_put(jnp.asarray(mat))
     py_d = jax.device_put(jnp.asarray(py))
-    anchors = np.arange(N_SNP, dtype=np.int32)
-    work = jnp.asarray(_tile_worklist(anchors, N_SNP, "tri", TILE))
-    anchors_d = jnp.asarray(anchors)
-    bins = jnp.zeros(N_SNP, dtype=jnp.int32)
-    table = jnp.full(111, cut, dtype=jnp.float32)
+    work = jnp.asarray(
+        _tile_worklist(np.arange(N_SNP, dtype=np.int32), N_SNP, "tri", TILE)
+    )
+    j_ids = jnp.arange(N_SNP, dtype=jnp.int32)
+    jt = jnp.arange(TILE, dtype=jnp.int32)
+
+    @jax.jit
+    def screen_all(m, py_):
+        a_scaled = m * py_[:, None]
+
+        def pair_fn(tp):
+            t, pt = tp[0] * TILE, tp[1] * TILE
+            a = jax.lax.dynamic_slice_in_dim(a_scaled, t, TILE, axis=1)
+            b = jax.lax.dynamic_slice_in_dim(m, pt, TILE, axis=1)
+            s = a.T @ b
+            valid = (pt + jt)[None, :] > (t + jt)[:, None]
+            return jnp.sum((jnp.abs(s) > cut) & valid)
+
+        return jnp.sum(jax.lax.map(pair_fn, work))
 
     def run():
-        return int(
-            jnp.sum(
-                _screen_counts_all(anchors_d, mat_d, mat_d, py_d, bins,
-                                   table, work, "tri", TILE)
-            )
-        )
+        return int(screen_all(mat_d, py_d))
 
     total = run()  # compile + warmup
     reps = 5

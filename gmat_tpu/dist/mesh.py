@@ -50,13 +50,13 @@ def _pad_cols(arr: np.ndarray, mult: int) -> np.ndarray:
     return arr
 
 
-def sharded_additive_grm(geno: np.ndarray, mesh: Mesh, small_val: float = 0.001):
-    """K_a over the mesh: SNP columns sharded, one psum over ICI.
+def _sharded_grm(geno: np.ndarray, mesh: Mesh, small_val: float, kind: str):
+    """GRM over the mesh: SNP columns sharded, one psum over ICI.
 
-    Matches `gmat_tpu.grm.additive_grm` (and the reference gmatrix.py:53-66)
-    numerically: per-column freq/centering is local because every device owns
-    whole columns; only `scale` and the Gram partial need the collective.
-    """
+    Matches `gmat_tpu.grm.{additive,dominance}_grm` (reference
+    gmatrix.py:53-66 / :116-127) numerically: per-column freq/centering is
+    local because every device owns whole columns; only `scale` and the Gram
+    partial need the collective."""
     ndev = mesh.devices.size
     geno_p = _pad_cols(np.asarray(geno), ndev)
 
@@ -67,15 +67,28 @@ def sharded_additive_grm(geno: np.ndarray, mesh: Mesh, small_val: float = 0.001)
         freq = jnp.sum(g, axis=0) / (2.0 * n)
         # padded columns are all-zero -> freq 0 -> centered value 0, scale 0
         is_real = jnp.any(g != 0.0, axis=0)
-        scale = jax.lax.psum(
-            jnp.sum(jnp.where(is_real, 2.0 * freq * (1.0 - freq), 0.0)), AXIS
-        )
-        cen = jnp.where(is_real[None, :], g - 2.0 * freq[None, :], 0.0)
+        sv = 2.0 * freq * (1.0 - freq)
+        if kind == "add":
+            scale_part = jnp.where(is_real, sv, 0.0)
+            cen = jnp.where(is_real[None, :], g - 2.0 * freq[None, :], 0.0)
+        else:
+            scale_part = jnp.where(is_real, sv * (1.0 - sv), 0.0)
+            het = jnp.where(g > 1.5, 0.0, g)
+            cen = jnp.where(is_real[None, :], het - sv[None, :], 0.0)
+        scale = jax.lax.psum(jnp.sum(scale_part), AXIS)
         return jax.lax.psum(cen @ cen.T, AXIS) / scale
 
     kin = kernel(jnp.asarray(geno_p))
     diag = jnp.diag(kin) * (1.0 + small_val)
     return kin.at[jnp.diag_indices_from(kin)].set(diag)
+
+
+def sharded_additive_grm(geno: np.ndarray, mesh: Mesh, small_val: float = 0.001):
+    return _sharded_grm(geno, mesh, small_val, "add")
+
+
+def sharded_dominance_grm(geno: np.ndarray, mesh: Mesh, small_val: float = 0.001):
+    return _sharded_grm(geno, mesh, small_val, "dom")
 
 
 def interleaved_anchor_split(num_snp: int, ndev: int) -> np.ndarray:
@@ -140,6 +153,34 @@ def sharded_screen_counts(mat: np.ndarray, pymat: np.ndarray, cut: float,
         chunk = np.arange(num_snp - 1)[d::ndev]
         total[chunk] = counts[d, : len(chunk)]
     return total
+
+
+def sharded_screen_hits(mat: np.ndarray, pymat: np.ndarray, cut: float,
+                        mesh: Mesh, tile: int = 256):
+    """Full device-parallel AA screen: counts over the mesh, then hits.
+
+    Phase 1 reuses `sharded_screen_counts` (each device sweeps its interleaved
+    anchors). Phase 2 extracts hits only for the (rare) anchors with a
+    non-zero count via the single-chip tile kernel — the deterministic
+    replacement for the reference's per-machine output files + concatenation
+    (README.md:191-204).  Hits are returned sorted by (i, j) so the merged
+    table is byte-stable across topologies."""
+    import jax.numpy as jnp
+
+    from gmat_tpu.scan.screen import _run_screen
+
+    counts = sharded_screen_counts(mat, pymat, cut, mesh, tile=tile)
+    hot = np.nonzero(counts)[0]
+    if len(hot) == 0:
+        return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.float32),)
+    bins = np.zeros(mat.shape[1], dtype=np.int64)
+    table = np.full(111, float(cut), dtype=np.float32)
+    i0, i1, eff = _run_screen(jnp.asarray(mat, dtype=jnp.float32),
+                              jnp.asarray(mat, dtype=jnp.float32),
+                              jnp.asarray(pymat, dtype=jnp.float32),
+                              hot, bins, table, "tri", min(tile, len(hot)))
+    order = np.lexsort((i1, i0))
+    return i0[order], i1[order], eff[order]
 
 
 def sharded_exact_scan_tile(anchor_block: np.ndarray, mat: np.ndarray,

@@ -77,3 +77,36 @@ def test_sharded_exact_scan_tile(rng, mesh):
 
     want = chi2.sf(eff * eff / var, 1)
     np.testing.assert_allclose(p[3], want, rtol=1e-8)
+
+
+def test_sharded_dominance_grm(rng, mesh):
+    from gmat_tpu.dist.mesh import sharded_dominance_grm
+    from gmat_tpu.grm.grm import dominance_grm
+
+    geno = rng.choice([0.0, 1.0, 2.0], size=(40, 37))
+    want = np.asarray(dominance_grm(jnp.asarray(geno)))
+    got = np.asarray(sharded_dominance_grm(geno, mesh))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_sharded_screen_hits(rng, mesh):
+    from gmat_tpu.dist.mesh import sharded_screen_hits
+
+    n, m = 64, 97
+    geno = rng.choice([0.0, 1.0, 2.0], size=(n, m))
+    freq = geno.sum(0) / (2 * n)
+    mat = geno - 2 * freq[None, :]
+    py = rng.standard_normal(n) * 0.1
+    eff = (mat * py[:, None]).T @ mat
+    cut = np.quantile(np.abs(eff[np.triu_indices(m, 1)]), 0.98)
+    i0, i1, e = sharded_screen_hits(mat, py, cut, mesh, tile=8)
+    want = {
+        (a, b)
+        for a, b in zip(*np.where(
+            (np.abs(eff) > cut)
+            & (np.arange(m)[None, :] > np.arange(m)[:, None])
+        ))
+    }
+    assert set(zip(i0.tolist(), i1.tolist())) == want
+    # byte-stable ordering
+    assert np.all(np.lexsort((i1, i0)) == np.arange(len(i0)))

@@ -14,7 +14,7 @@ balance/balance_varcom.py:49-126, unbalance/unbalance_varcom.py:50-122):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd

@@ -21,7 +21,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pandas as pd
 from jax.ops import segment_sum
 
 from gmat_tpu.core.stats import chi2_sf

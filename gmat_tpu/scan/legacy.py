@@ -36,7 +36,6 @@ def _as_dm(y, xmat, zmat) -> DesignMatrices:
 
 def remma_add_cpu(y, xmat, zmat, gmat_lst, var_com, bed_file,
                   out_file="remma_add_cpu"):
-    from gmat_tpu.scan.single import _run_single
     from gmat_tpu.core.coding import additive_code
 
     dm = _as_dm(y, xmat, zmat)
@@ -151,8 +150,6 @@ def remma_epiAA_select_cpu(y, xmat, zmat, gmat_lst, var_com, bed_file,
 def remma_epiAA_pair_cpu(y, xmat, zmat, gmat_lst, var_com, bed_file,
                          snp_pair_file, max_test_pair=50000, p_cut=1.0e-4,
                          out_file="remma_epiAA_pair_cpu"):
-    from gmat_tpu.scan.pairs import _remma_epi_pair
-
     dm = _as_dm(y, xmat, zmat)
     # reuse the modern pair engine with the prepared design
     import jax.numpy as jnp

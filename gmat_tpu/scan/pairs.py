@@ -26,7 +26,6 @@ preserved).  The anchor tiling doubles as the unit of multi-chip sharding
 from __future__ import annotations
 
 import logging
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,75 @@
+"""Yeast-scale stress run: the reference's headline workload shape.
+
+The reference yeast fixture is 4168 ids x 28220 SNPs = 398,170,090 epiAA
+pairs (its .bed is absent upstream — SURVEY §6), so this generates a
+synthetic panel of the same shape and runs the production screen (phase-1
+counts + phase-2 extraction) end-to-end, verifying extracted hits against a
+direct recomputation on sampled anchor rows.
+
+    python tools/stress_yeast_scale.py            # TPU
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/stress_yeast_scale.py
+"""
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+N_ID = 4168
+N_SNP = 28220
+TILE = 1024
+
+
+def main():
+    import jax.numpy as jnp
+
+    from gmat_tpu.scan.screen import _run_screen
+
+    rng = np.random.default_rng(0)
+    freqs = rng.uniform(0.05, 0.95, size=N_SNP)
+    geno = rng.binomial(2, freqs[None, :], size=(N_ID, N_SNP)).astype(np.float32)
+    p_hat = geno.sum(0) / (2 * N_ID)
+    mat = np.asarray(geno - 2 * p_hat[None, :], dtype=np.float32)
+    py = (rng.standard_normal(N_ID) * 0.02).astype(np.float32)
+    # pick a threshold that leaves a realistic survivor count (~1e-5 of pairs)
+    sample = np.abs((mat[:, :512] * py[:, None]).T @ mat)
+    cut = float(np.quantile(sample, 1 - 1e-5))
+    print(f"n={N_ID} m={N_SNP} pairs={N_SNP*(N_SNP-1)//2:,} cut={cut:.3f}")
+
+    mat_d = jnp.asarray(mat)
+    py_d = jnp.asarray(py)
+    anchors = np.arange(N_SNP - 1, dtype=np.int32)
+    bins = np.zeros(N_SNP, dtype=np.int64)
+    table = np.full(111, cut, dtype=np.float32)
+    t0 = time.perf_counter()
+    i0, i1, eff = _run_screen(mat_d, mat_d, py_d, anchors, bins, table,
+                              "tri", TILE)
+    dt = time.perf_counter() - t0
+    pairs = N_SNP * (N_SNP - 1) // 2
+    print(f"screen+extract: {dt:.1f} s -> {pairs/dt/1e6:.1f} M pairs/s, "
+          f"{len(i0):,} hits")
+
+    # verify a sample of extracted hits and a no-miss check on 8 anchor rows
+    sel = rng.choice(len(i0), size=min(200, len(i0)), replace=False)
+    for k in sel:
+        direct = float(mat[:, i0[k]] * py @ mat[:, i1[k]])
+        assert abs(direct - eff[k]) < 1e-3 * max(1.0, abs(direct)), (
+            i0[k], i1[k], direct, eff[k])
+    hit_set = set(zip(i0.tolist(), i1.tolist()))
+    for a in rng.choice(N_SNP - 1, size=8, replace=False):
+        row = (mat[:, a] * py) @ mat
+        expect = {(int(a), int(j)) for j in np.where(np.abs(row) > cut)[0]
+                  if j > a}
+        got = {p for p in hit_set if p[0] == int(a)}
+        # borderline f32 differences allowed within 0.1% of the cut
+        for p in expect ^ got:
+            assert abs(abs(row[p[1]]) - cut) < 1e-3 * cut, p
+    print("hit verification OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -3,10 +3,15 @@
 
 Runs the f32 MXU screen GEMM — the TPU-native equivalent of the reference's
 C/OpenMP `remma_epiAA_eff_cpu` kernel (_remma_epi_eff_cpu.c:91-137) — on a
-mouse-sized cohort (n=1304 individuals) with a synthetic 16384-SNP panel
-(134M pairs), anchor-tiled exactly like the production screen
+mouse-sized cohort (n=1304 individuals) with a synthetic 262144-SNP panel
+(34.4G pairs), anchor-tiled exactly like the production screen
 (gmat_tpu/scan/screen.py).  `vs_baseline` compares against the reference C
 kernel measured on this host (tools/bench_reference.py -> bench_baseline.json).
+
+Sizing (measured on the tunneled chip, 2026-08): each dispatch costs ~21 ms
+RTT, and the screen GEMM sustains ~134 TF/s effective at tile 4096, so the
+panel is sized to make one dispatch ~0.7 s of pure MXU work (50G+ pairs/s;
+16384 SNPs measured only 4.6G pairs/s because RTT dominated).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
@@ -22,8 +27,8 @@ import numpy as np
 ROOT = Path(__file__).parent
 
 N_ID = 1304
-N_SNP = 16384
-TILE = 2048
+N_SNP = 262144
+TILE = 4096
 
 
 def main():
@@ -71,7 +76,7 @@ def main():
         return int(screen_all(mat_d, py_d))
 
     total = run()  # compile + warmup
-    reps = 5
+    reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         total = run()

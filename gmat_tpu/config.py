@@ -52,7 +52,8 @@ class ScanConfig:
     num_random_pair: int = 100_000
     max_test_pair: int = 50_000
     anchor_tile: int = 128  # anchors per device step in the exact scan
-    screen_tile: int = 512  # SNP block edge for the screening GEMM
+    # screening GEMM block edge is auto-sized (scan/screen.py:_auto_tile);
+    # pass tile=... to the screen engines to override
 
 
 def host_device_count() -> int:

@@ -21,7 +21,7 @@ sys.path.insert(0, str(Path(__file__).parents[1]))
 
 N_ID = 4168
 N_SNP = 28220
-TILE = 1024
+TILE = 4096
 
 
 def main():

@@ -55,15 +55,29 @@ from gmat_tpu.scan.screen import (  # noqa: F401
     remma_epiAA_eff,
     remma_epiAA_eff_parallel,
     remma_epiAA_maf_approx,
+    remma_epiAA_maf_approx_parallel,
     remma_epiAA_maf_eff,
+    remma_epiAA_maf_eff_parallel,
     remma_epiAD_approx,
+    remma_epiAD_approx_parallel,
     remma_epiAD_eff,
+    remma_epiAD_eff_parallel,
     remma_epiAD_maf_approx,
+    remma_epiAD_maf_approx_parallel,
     remma_epiAD_maf_eff,
+    remma_epiAD_maf_eff_parallel,
     remma_epiDD_approx,
+    remma_epiDD_approx_parallel,
     remma_epiDD_eff,
+    remma_epiDD_eff_parallel,
     remma_epiDD_maf_approx,
+    remma_epiDD_maf_approx_parallel,
     remma_epiDD_maf_eff,
+    remma_epiDD_maf_eff_parallel,
+)
+from gmat_tpu.io.pheno import (  # noqa: F401
+    design_matrix_wemai_multi_gmat,
+    design_matrix_wemai_multi_gmat_pred,
 )
 from gmat_tpu.scan.single import remma_add, remma_dom  # noqa: F401
 from gmat_tpu.pipeline.simulate import (  # noqa: F401

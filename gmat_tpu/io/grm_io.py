@@ -52,3 +52,13 @@ def read_grm_id_id_val(path: str, ids) -> np.ndarray:
             i, j = pos[id0], pos[id1]
             mat[i, j] = mat[j, i] = float(val)
     return mat
+
+
+def output_mat(mat, id, out_file, out_fmt):  # noqa: A002 - reference name
+    """Reference-name API (gmatrix.py:10-31): returns 1 on success, 0 on an
+    unrecognized format (the reference silently no-ops instead of raising)."""
+    try:
+        write_grm(mat, np.asarray(id), out_file, out_fmt)
+    except ValueError:
+        return 0
+    return 1

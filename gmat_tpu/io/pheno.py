@@ -138,3 +138,27 @@ def design_matrix_pred(pheno_file: str, bed_prefix: str) -> DesignMatrices:
         rec_ids=np.asarray(rec_ids, dtype=np.int32),
         n_col=n_col,
     )
+
+
+def _dm_to_tuple(dm: DesignMatrices):
+    from scipy import sparse
+
+    n_rec = len(dm.rec_ids)
+    zmat = sparse.csr_matrix(
+        (np.ones(n_rec), (np.arange(n_rec), dm.rec_ids)),
+        shape=(n_rec, dm.n_col),
+    )
+    return dm.y.reshape(-1, 1), dm.xmat, zmat
+
+
+def design_matrix_wemai_multi_gmat(pheno_file: str, bed_prefix: str):
+    """Reference-name API (design_matrix.py:7-57): returns (y, xmat, zmat)
+    with y an (n,1) column, X dense and Z a CSR record->individual
+    incidence — the tuple the reference's own examples unpack."""
+    return _dm_to_tuple(design_matrix(pheno_file, bed_prefix))
+
+
+def design_matrix_wemai_multi_gmat_pred(pheno_file: str, bed_prefix: str):
+    """Reference-name API (design_matrix.py:60-113): prediction variant with
+    empty Z columns for un-phenotyped individuals."""
+    return _dm_to_tuple(design_matrix_pred(pheno_file, bed_prefix))

@@ -152,3 +152,16 @@ def build_fixed_formula(data: LongData, fix: str | None):
     if not cols:
         return None
     return np.column_stack(cols)
+
+
+def longwas_lm(y, xmat):
+    """OLS helper, reference contract (balance/common.py:128-138): returns
+    (eff, eff_var, sigma) with sigma the residual variance estimate."""
+    y = np.asarray(y, dtype=float).reshape(-1, 1)
+    xmat = np.asarray(xmat, dtype=float).reshape(y.shape[0], -1)
+    n, r = xmat.shape
+    xx = np.linalg.inv(xmat.T @ xmat)
+    yx = y.T @ xmat
+    sigma = float((y.T @ y - yx @ xx @ yx.T) / (n - r))
+    eff = xx @ yx.T
+    return eff, xx * sigma, sigma

@@ -41,3 +41,17 @@ def leg_basis(time, order: int, tmin=None, tmax=None) -> np.ndarray:
     tvec = 2.0 * (time - tmin) / (tmax - tmin) - 1.0
     powers = tvec[:, None] ** np.arange(order + 1)[None, :]
     return powers @ leg_coeffs(order).T
+
+
+def leg(time, order: int) -> list:
+    """Reference-name API (balance/common.py:69-87): list of (T, 1) Legendre
+    columns normalized over the observed time range."""
+    phi = leg_basis(time, order)
+    return [phi[:, k:k + 1] for k in range(order + 1)]
+
+
+def leg_mt(time, tmax, tmin, order: int) -> np.ndarray:
+    """Reference-name API (balance/common.py:89-105): (T, order+1) basis over
+    an explicit [tmin, tmax] range (argument order follows the reference:
+    tmax before tmin)."""
+    return leg_basis(time, order, tmin=tmin, tmax=tmax)

@@ -26,3 +26,7 @@ def simu(total_snp: int, depth: float, num_id: int,
     for rep in range(num_id):
         out[:, rep] = simu_lds(total_snp, depth, rep)[:, 0]
     return out
+
+
+# reference-name alias (omics/simu_LDS.py:8)
+simu_LDS = simu_lds

@@ -189,10 +189,14 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins, table, mask_mode, tile,
         )
         count = int(count)
         if count > _HIT_CAP:
-            raise RuntimeError(
-                f"screen tile overflow: {count} hits > capacity {_HIT_CAP}; "
-                "lower p_cut or reduce the anchor tile size"
+            # rare keep-almost-everything screens: re-extract this tile with
+            # a capacity that fits (one extra compile at the larger cap)
+            cap = 1 << int(count - 1).bit_length()
+            count, hi, hj, he = _screen_tile(
+                a_cols, jnp.asarray(padded), b_mat, pymat, cut_rows,
+                mask_mode, cap=cap,
             )
+            count = int(count)
         if count == 0:
             continue
         hi, hj, he = (np.asarray(h)[:count] for h in (hi, hj, he))
@@ -525,13 +529,21 @@ def remma_epiDD_maf_approx(pheno_file, bed_prefix, gmat_lst, var_com,
                                  seed=seed)
 
 
-def _remma_epi_eff_parallel(kind, pheno_file, bed_prefix, gmat_lst, var_com,
-                            parallel, var_app=1.0, p_cut=1.0e-5,
-                            out_file="epi_eff_parallel"):
+def _parallel_anchor_split(kind, bed_prefix, parallel):
+    """Balanced anchor split for a shard; AD anchors range over all SNPs
+    (reference remma_epiAD_eff.py:141-150 caps part 1 at num_snp, the
+    AA/DD variants at num_snp-1)."""
     from gmat_tpu.io.bed import read_bim
 
     num_snp = len(read_bim(bed_prefix + ".bim"))
-    snp_lst_0 = balanced_anchor_split(num_snp, parallel[0], parallel[1])
+    return balanced_anchor_split(num_snp, parallel[0], parallel[1],
+                                 triangular=(kind != "AD"))
+
+
+def _remma_epi_eff_parallel(kind, pheno_file, bed_prefix, gmat_lst, var_com,
+                            parallel, var_app=1.0, p_cut=1.0e-5,
+                            out_file="epi_eff_parallel"):
+    snp_lst_0 = _parallel_anchor_split(kind, bed_prefix, parallel)
     return _remma_epi_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                           snp_lst_0, var_app, p_cut,
                           f"{out_file}.{parallel[1]}")
@@ -558,16 +570,120 @@ def remma_epiDD_eff_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
                                    var_com, parallel, var_app, p_cut, out_file)
 
 
+def _remma_epi_approx_parallel(kind, pheno_file, bed_prefix, gmat_lst,
+                               var_com, parallel, p_cut, num_random_pair,
+                               out_file, seed):
+    """Per-shard approx pipeline: each shard calibrates on its own random
+    pair sample, screens its balanced anchor split, and exact-retests —
+    shard outputs `<out>.<i>` concatenate into the full table (reference
+    remma_epiAA_approx.py:56-101, remma_epiAA_maf_approx.py:94-132)."""
+    snp_lst_0 = _parallel_anchor_split(kind, bed_prefix, parallel)
+    return _remma_epi_approx(
+        kind, pheno_file, bed_prefix, gmat_lst, var_com, p_cut,
+        num_random_pair, f"{out_file}.{parallel[1]}", snp_lst_0=snp_lst_0,
+        seed=seed + parallel[1],
+    )
+
+
 def remma_epiAA_approx_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
                                 parallel, p_cut=1.0e-5,
                                 num_random_pair=100000,
                                 out_file="epiAA_approx", seed=0):
-    from gmat_tpu.io.bed import read_bim
+    return _remma_epi_approx_parallel("AA", pheno_file, bed_prefix, gmat_lst,
+                                      var_com, parallel, p_cut,
+                                      num_random_pair, out_file, seed)
 
-    num_snp = len(read_bim(bed_prefix + ".bim"))
-    snp_lst_0 = balanced_anchor_split(num_snp, parallel[0], parallel[1])
-    return _remma_epi_approx(
-        "AA", pheno_file, bed_prefix, gmat_lst, var_com, p_cut,
+
+def remma_epiAD_approx_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
+                                parallel, p_cut=1.0e-5,
+                                num_random_pair=100000,
+                                out_file="epiAD_approx", seed=0):
+    return _remma_epi_approx_parallel("AD", pheno_file, bed_prefix, gmat_lst,
+                                      var_com, parallel, p_cut,
+                                      num_random_pair, out_file, seed)
+
+
+def remma_epiDD_approx_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
+                                parallel, p_cut=1.0e-5,
+                                num_random_pair=100000,
+                                out_file="epiDD_approx", seed=0):
+    return _remma_epi_approx_parallel("DD", pheno_file, bed_prefix, gmat_lst,
+                                      var_com, parallel, p_cut,
+                                      num_random_pair, out_file, seed)
+
+
+def _remma_epi_maf_eff_parallel(kind, pheno_file, bed_prefix, gmat_lst,
+                                var_com, parallel, freq=None, freq_deno=None,
+                                p_cut=1.0e-5, out_file="epi_maf_eff_parallel"):
+    snp_lst_0 = _parallel_anchor_split(kind, bed_prefix, parallel)
+    return _remma_epi_maf_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
+                              snp_lst_0, freq, freq_deno, p_cut,
+                              f"{out_file}.{parallel[1]}")
+
+
+def remma_epiAA_maf_eff_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
+                                 parallel, freq=None, freq_deno=None,
+                                 p_cut=1.0e-5,
+                                 out_file="epiAA_maf_eff_parallel"):
+    return _remma_epi_maf_eff_parallel("AA", pheno_file, bed_prefix, gmat_lst,
+                                       var_com, parallel, freq, freq_deno,
+                                       p_cut, out_file)
+
+
+def remma_epiAD_maf_eff_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
+                                 parallel, freq=None, freq_deno=None,
+                                 p_cut=1.0e-5,
+                                 out_file="epiAD_maf_eff_parallel"):
+    return _remma_epi_maf_eff_parallel("AD", pheno_file, bed_prefix, gmat_lst,
+                                       var_com, parallel, freq, freq_deno,
+                                       p_cut, out_file)
+
+
+def remma_epiDD_maf_eff_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
+                                 parallel, freq=None, freq_deno=None,
+                                 p_cut=1.0e-5,
+                                 out_file="epiDD_maf_eff_parallel"):
+    return _remma_epi_maf_eff_parallel("DD", pheno_file, bed_prefix, gmat_lst,
+                                       var_com, parallel, freq, freq_deno,
+                                       p_cut, out_file)
+
+
+def _remma_epi_maf_approx_parallel(kind, pheno_file, bed_prefix, gmat_lst,
+                                   var_com, parallel, p_cut, num_random_pair,
+                                   out_file, seed):
+    snp_lst_0 = _parallel_anchor_split(kind, bed_prefix, parallel)
+    return _remma_epi_maf_approx(
+        kind, pheno_file, bed_prefix, gmat_lst, var_com, p_cut,
         num_random_pair, f"{out_file}.{parallel[1]}", snp_lst_0=snp_lst_0,
         seed=seed + parallel[1],
     )
+
+
+def remma_epiAA_maf_approx_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
+                                    parallel, p_cut=1.0e-5,
+                                    num_random_pair=100000,
+                                    out_file="epiAA_maf_approx_parallel",
+                                    seed=0):
+    return _remma_epi_maf_approx_parallel("AA", pheno_file, bed_prefix,
+                                          gmat_lst, var_com, parallel, p_cut,
+                                          num_random_pair, out_file, seed)
+
+
+def remma_epiAD_maf_approx_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
+                                    parallel, p_cut=1.0e-5,
+                                    num_random_pair=100000,
+                                    out_file="epiAD_maf_approx_parallel",
+                                    seed=0):
+    return _remma_epi_maf_approx_parallel("AD", pheno_file, bed_prefix,
+                                          gmat_lst, var_com, parallel, p_cut,
+                                          num_random_pair, out_file, seed)
+
+
+def remma_epiDD_maf_approx_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
+                                    parallel, p_cut=1.0e-5,
+                                    num_random_pair=100000,
+                                    out_file="epiDD_maf_approx_parallel",
+                                    seed=0):
+    return _remma_epi_maf_approx_parallel("DD", pheno_file, bed_prefix,
+                                          gmat_lst, var_com, parallel, p_cut,
+                                          num_random_pair, out_file, seed)

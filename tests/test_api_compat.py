@@ -1,0 +1,178 @@
+"""Reference-name API aliases and the parallel-twin coverage added for full
+symbol parity with the reference package (SURVEY.md §2.3)."""
+import numpy as np
+import pytest
+
+
+def test_design_matrix_reference_tuple(mouse_pheno, mouse_prefix):
+    from gmat_tpu.io.pheno import (
+        design_matrix,
+        design_matrix_wemai_multi_gmat,
+        design_matrix_wemai_multi_gmat_pred,
+    )
+
+    y, xmat, zmat = design_matrix_wemai_multi_gmat(mouse_pheno, mouse_prefix)
+    dm = design_matrix(mouse_pheno, mouse_prefix)
+    assert y.shape == (len(dm.y), 1)
+    np.testing.assert_array_equal(y[:, 0], dm.y)
+    np.testing.assert_array_equal(xmat, dm.xmat)
+    # CSR incidence: one 1 per record, column = individual slot
+    assert zmat.shape == (len(dm.rec_ids), dm.n_col)
+    np.testing.assert_array_equal(np.asarray(zmat.argmax(axis=1)).ravel(),
+                                  dm.rec_ids)
+    np.testing.assert_array_equal(np.asarray(zmat.sum(axis=1)).ravel(), 1.0)
+    y2, _, z2 = design_matrix_wemai_multi_gmat_pred(mouse_pheno, mouse_prefix)
+    assert z2.shape[0] == len(y2)
+
+
+def test_leg_reference_contracts():
+    from gmat_tpu.longwas.legendre import leg, leg_basis, leg_mt
+
+    t = np.array([1.0, 3.0, 5.0, 7.0])
+    cols = leg(t, 3)
+    assert len(cols) == 4 and all(c.shape == (4, 1) for c in cols)
+    np.testing.assert_allclose(np.concatenate(cols, axis=1), leg_basis(t, 3))
+    # leg_mt takes (time, tmax, tmin, order) — reference argument order
+    mt = leg_mt(t, 10.0, 0.0, 2)
+    np.testing.assert_allclose(mt, leg_basis(t, 2, tmin=0.0, tmax=10.0))
+
+
+def test_longwas_lm_matches_lstsq(rng):
+    from gmat_tpu.longwas.data import longwas_lm
+
+    x = rng.standard_normal((50, 3))
+    beta = np.array([1.0, -2.0, 0.5])
+    y = x @ beta + rng.standard_normal(50) * 0.1
+    eff, eff_var, sigma = longwas_lm(y, x)
+    want, res_ss, *_ = np.linalg.lstsq(x, y, rcond=None)
+    np.testing.assert_allclose(eff.ravel(), want, rtol=1e-10)
+    np.testing.assert_allclose(sigma, float(res_ss) / (50 - 3), rtol=1e-10)
+    assert eff_var.shape == (3, 3)
+
+
+def test_output_mat_reference_semantics(tmp_path):
+    from gmat_tpu.io.grm_io import output_mat
+
+    mat = np.array([[2.0, 0.5], [0.5, 1.5]])
+    ids = np.array(["a", "b"])
+    assert output_mat(mat, ids, str(tmp_path / "k.agrm"), "mat") == 1
+    np.testing.assert_allclose(np.loadtxt(tmp_path / "k.agrm0"), mat)
+    assert output_mat(mat, ids, str(tmp_path / "k.agrm"), "id_id_val") == 1
+    # reference returns 0 (no-op) on an unknown format instead of raising
+    assert output_mat(mat, ids, str(tmp_path / "k.agrm"), "bogus") == 0
+
+
+def test_simu_LDS_alias():
+    from gmat_tpu.omics.simu_lds import simu_LDS, simu_lds
+
+    np.testing.assert_array_equal(simu_LDS(100, 1.5, 3), simu_lds(100, 1.5, 3))
+
+
+def test_parallel_anchor_split_coverage(mouse_prefix):
+    """Shards must tile the anchor range exactly once; AD anchors extend to
+    num_snp (reference remma_epiAD_eff.py:141-150), AA/DD to num_snp-1."""
+    from gmat_tpu.io.bed import read_bim
+    from gmat_tpu.scan.screen import _parallel_anchor_split
+
+    num_snp = len(read_bim(mouse_prefix + ".bim"))
+    for kind, hi in (("AA", num_snp - 1), ("AD", num_snp), ("DD", num_snp - 1)):
+        shards = [_parallel_anchor_split(kind, mouse_prefix, [3, i])
+                  for i in (1, 2, 3)]
+        union = sorted(a for s in shards for a in s)
+        assert union == list(range(hi)), kind
+
+
+@pytest.fixture(scope="module")
+def legacy_setup(mouse_geno, mouse_pheno, mouse_prefix):
+    import jax.numpy as jnp
+
+    from gmat_tpu.grm.grm import additive_grm
+    from gmat_tpu.io.pheno import design_matrix
+
+    ag = np.asarray(additive_grm(jnp.asarray(mouse_geno)))
+    var = np.array([0.06289206, 0.07641075, 0.08121168])
+    dm = design_matrix(mouse_pheno, mouse_prefix)
+    return dm, [ag, ag * ag], var
+
+
+def test_legacy_AD_pair_matches_modern(tmp_path, legacy_setup, mouse_pheno,
+                                       mouse_prefix):
+    from gmat_tpu.scan.legacy import remma_epiAD_pair_cpu
+    from gmat_tpu.scan.pairs import remma_epiAD_pair
+
+    dm, gmat_lst, var = legacy_setup
+    pair_file = tmp_path / "pairs"
+    pair_file.write_text("snp_0 snp_1\n3 11\n100 200\n7 1000\n")
+    remma_epiAD_pair_cpu(dm.y, dm.xmat, dm.z_dense(), gmat_lst, var,
+                         mouse_prefix, str(pair_file), p_cut=1.1,
+                         out_file=str(tmp_path / "legacy"))
+    remma_epiAD_pair(mouse_pheno, mouse_prefix, gmat_lst, var,
+                     snp_pair_file=str(pair_file), p_cut=1.1,
+                     out_file=str(tmp_path / "modern"))
+    a = np.loadtxt(tmp_path / "legacy", skiprows=1)
+    b = np.loadtxt(tmp_path / "modern", skiprows=1)
+    np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_legacy_DD_select_and_AD_eff(tmp_path, legacy_setup, mouse_prefix):
+    import jax.numpy as jnp
+
+    from gmat_tpu.core.coding import additive_code, dominance_code
+    from gmat_tpu.scan.legacy import remma_epiAD_eff_cpu, remma_epiDD_select_cpu
+
+    dm, gmat_lst, var = legacy_setup
+    remma_epiDD_select_cpu(dm.y, dm.xmat, dm.z_dense(), gmat_lst, var,
+                           mouse_prefix, snp_lst_0=[2], snp_lst_1=[4, 5],
+                           p_cut=1.1, out_file=str(tmp_path / "ddsel"))
+    rows = np.loadtxt(tmp_path / "ddsel", skiprows=1)
+    assert rows.shape == (2, 6)
+
+    # AD effect screen keeps both orientations: rows (i,j) and (j,i)
+    remma_epiAD_eff_cpu(dm.y, dm.xmat, dm.z_dense(), gmat_lst, var,
+                        mouse_prefix, snp_lst_0=[0, 1], eff_cut=-999.0,
+                        out_file=str(tmp_path / "adeff"))
+    out = np.loadtxt(tmp_path / "adeff", skiprows=1)
+    i0 = out[:, 0].astype(int)
+    i1 = out[:, 1].astype(int)
+    assert set(i0) | set(i1) >= {0, 1}
+    # spot-check one effect value against the direct f64 product
+    from gmat_tpu.io.bed import read_plink
+    from gmat_tpu.io.pheno import design_matrix  # noqa: F401
+    from gmat_tpu.scan.common import score_pieces
+
+    geno = read_plink(mouse_prefix)
+    a = np.asarray(additive_code(jnp.asarray(geno))[0])
+    d = np.asarray(dominance_code(jnp.asarray(geno))[0])
+    pieces = score_pieces(dm, gmat_lst, var)
+    py = np.asarray(pieces.pymat)
+    k = 0
+    direct = float((a[:, i0[k]] * d[:, i1[k]]) @ py)
+    np.testing.assert_allclose(out[k, 2], direct, rtol=1e-3)
+
+
+def test_maf_eff_parallel_union_matches_serial(tmp_path, legacy_setup,
+                                               mouse_pheno, mouse_prefix):
+    """Two maf_eff shards must union to the serial run (same thresholds)."""
+    from gmat_tpu.scan.screen import (
+        remma_epiAA_maf_eff,
+        remma_epiAA_maf_eff_parallel,
+    )
+
+    _, gmat_lst, var = legacy_setup
+    deno = np.full(111, 1e-4)  # low denominators -> plenty of hits
+    kw = dict(freq=None, freq_deno=deno, p_cut=1e-4)
+    remma_epiAA_maf_eff(mouse_pheno, mouse_prefix, gmat_lst, var,
+                        out_file=str(tmp_path / "serial"), **kw)
+    for i in (1, 2):
+        remma_epiAA_maf_eff_parallel(mouse_pheno, mouse_prefix, gmat_lst,
+                                     var, parallel=[2, i],
+                                     out_file=str(tmp_path / "shard"), **kw)
+
+    def hits(path):
+        rows = np.loadtxt(path, skiprows=1, ndmin=2)
+        return {(int(r[0]), int(r[1])) for r in rows.reshape(-1, 5)}
+
+    got = hits(tmp_path / "shard.1") | hits(tmp_path / "shard.2")
+    assert hits(tmp_path / "shard.1").isdisjoint(hits(tmp_path / "shard.2"))
+    assert got == hits(tmp_path / "serial")
+    assert len(got) > 0

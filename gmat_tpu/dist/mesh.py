@@ -116,11 +116,13 @@ def sharded_screen_counts(mat: np.ndarray, pymat: np.ndarray, cut: float,
     partner matrix; the (num_snp-1,) hit-count vector comes back sharded and
     is summed on host.  The screen GEMM S = (A ⊙ py)ᵀ B is identical to the
     single-chip path (scan/screen.py)."""
+    from gmat_tpu.scan.screen import _screen_slack
+
     num_snp = mat.shape[1]
     ndev = mesh.devices.size
     assign = interleaved_anchor_split(num_snp, ndev)
 
-    cut = float(cut)
+    cut = float(cut) * (1.0 - _screen_slack())
 
     @jax.jit
     @partial(

@@ -44,31 +44,74 @@ logger = logging.getLogger(__name__)
 _HIT_CAP = 65536  # fixed per-anchor-tile hit capacity (static shapes for XLA)
 
 
-@partial(jax.jit, static_argnames=("mask_mode", "cap"))
-def _screen_tile(a_cols, a_idx, b_mat, py, cut_rows, mask_mode, cap=_HIT_CAP):
-    """One anchor tile vs all partners.
+def _screen_slack() -> float:
+    """Threshold slack compensating the screen GEMM's compute precision.
 
-    a_cols: (n, TA) anchor-coded columns; a_idx: (TA,) absolute SNP indices;
-    b_mat: (n, m) partner-coded matrix; py: (n,) pymat; cut_rows: (TA, m)
-    per-pair effect thresholds (broadcasted upstream).
-    mask_mode: 'tri' keeps j > i (AA/DD); 'nodiag' keeps j != i (AD).
-    Returns (count, idx0, idx1, eff) with fixed capacity `cap`.
+    On TPU the default-precision float32 matmul computes in bfloat16 with
+    f32 accumulation (~2^-8 relative error), so a pair whose true |eff| sits
+    just above the cut can read just below it.  A false negative is
+    unrecoverable — the pair never reaches the exact re-test — while a false
+    positive merely costs one exact re-test.  Lowering the effective cut by
+    2^-6 (4x the bf16 epsilon: the effect GEMM and the one-hot threshold
+    matmul each contribute up to ~2^-8 relative rounding) keeps the GEMM at
+    full MXU speed and pushes the borderline band into the exact re-test
+    instead.  On CPU the f32 GEMM is exact-precision and no slack is
+    needed."""
+    import jax
+
+    return 2.0 ** -6 if jax.default_backend() == "tpu" else 0.0
+
+
+@partial(jax.jit, static_argnames=("mask_mode", "cap"))
+def _screen_tile(a_gath, tstart, a_idx, ba_onehot, b_mat, t2_p, mask_mode,
+                 cap=_HIT_CAP):
+    """One anchor tile vs all partners -> compacted hits, ONE dispatch.
+
+    a_gath: (n, n_tiles*TA) all anchor columns pre-scaled by pymat (sliced
+    at tstart inside the kernel so per-tile calls reuse one gather);
+    a_idx: (TA,) absolute SNP indices; ba_onehot: (TA, 11) one-hot anchor
+    MAF bins; b_mat: (n, m) partner-coded matrix; t2_p: (11, m) bin-pair
+    thresholds expanded over partners.  mask_mode: 'tri' keeps j > i
+    (AA/DD); 'nodiag' keeps j != i (AD).  Returns (count, idx0, idx1, eff)
+    with fixed capacity `cap`.
+
+    TPU notes (each measured on the yeast-scale stress shape):
+    - per-pair cuts come from two small one-hot matmuls, not a (TA, m)
+      table gather — under the package-global x64 mode that gather emits
+      emulated int64 index math (seconds per tile);
+    - compaction is a hand-rolled int32 prefix-sum + scatter rather than
+      `jnp.nonzero` (int64 again: 10.5s -> 0.6s per tile).  Hits beyond
+      `cap` are dropped by the scatter (`mode="drop"`); the caller
+      re-invokes with a larger cap when count > cap.
     """
-    s = (a_cols * py[:, None]).T @ b_mat  # (TA, m) — the MXU GEMM
-    j_ids = jnp.arange(b_mat.shape[1])[None, :]
+    m = b_mat.shape[1]
+    a_scaled = jax.lax.dynamic_slice_in_dim(a_gath, tstart,
+                                            a_idx.shape[0], axis=1)
+    s = a_scaled.T @ b_mat  # (TA, m) — the MXU GEMM
+    cut_rows = ba_onehot @ t2_p  # (TA, m) per-pair thresholds
+    j_ids = jnp.arange(m, dtype=jnp.int32)[None, :]
     if mask_mode == "tri":
         valid = j_ids > a_idx[:, None]
     else:
         valid = j_ids != a_idx[:, None]
     hit = (jnp.abs(s) > cut_rows) & valid
-    count = jnp.sum(hit)
-    rows, cols = jnp.nonzero(hit, size=cap, fill_value=0)
+    flat = hit.ravel()
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    count = pos[-1] + 1
+    dest = jnp.where(flat, pos, cap)  # non-hits land in the spare slot
+    flat_idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    buf = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(flat_idx, mode="drop")
+    sel = buf[:cap]
+    rows = sel // m
+    cols = sel % m
     return count, a_idx[rows], cols, s[rows, cols]
 
 
-def _cut_rows(table, bins, anchor_ids):
-    """(TA, m) per-pair |eff| thresholds from the bin-pair table."""
-    return table[bins[anchor_ids][:, None] * 10 + bins[None, :]]
+@jax.jit
+def _gather_scale(a_mat, idx, py):
+    """One up-front anchor gather + pymat scale (strided per-tile column
+    gathers on TPU cost more than the extraction GEMM itself)."""
+    return a_mat[:, idx] * py[:, None]
 
 
 def _bin_table_11(table):
@@ -78,14 +121,19 @@ def _bin_table_11(table):
     return table[idx]
 
 
-def _auto_tile(n_anchors: int) -> int:
+def _auto_tile(n_anchors: int, m: int | None = None) -> int:
     """MXU-efficient anchor-tile edge: the screen GEMM rate grows with tile
     size until ~4096 (measured 26.7 -> 32.1 G pairs/s going 2048 -> 4096 on
     the bench chip), so pick the largest power of two <= 4096 that does not
-    overshoot the anchor count by more than the padding dedup can absorb."""
+    overshoot the anchor count by more than the padding dedup can absorb.
+    The extraction kernel flattens a (tile, m) hit mask with int32 indices,
+    so tile*m must stay below 2^31."""
     t = 256
     while t < 4096 and t < n_anchors:
         t *= 2
+    if m is not None:
+        while t > 1 and t * m >= 2**31:
+            t //= 2
     return t
 
 
@@ -166,7 +214,9 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins, table, mask_mode, tile,
     n_tiles = -(-len(anchors) // tile)
     padded_all = np.pad(anchors, (0, n_tiles * tile - len(anchors)),
                         constant_values=anchors[-1])
+    np_dtype = np.dtype(a_mat.dtype)
     bins_d = jnp.asarray(bins, dtype=jnp.int32)
+    table = np.asarray(table) * (1.0 - _screen_slack())
     table_d = jnp.asarray(table, dtype=a_mat.dtype)
     work = _tile_worklist(padded_all, b_mat.shape[1], mask_mode, tile)
     pair_counts = np.asarray(
@@ -176,16 +226,25 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins, table, mask_mode, tile,
     )
     counts = np.zeros(n_tiles, dtype=np.int64)
     np.add.at(counts, work[:, 0], pair_counts)
+    hot = np.nonzero(counts)[0]
     out_i, out_j, out_e = [], [], []
-    for t in np.nonzero(counts)[0]:
+    if len(hot):
+        # host-side precompute shared by every hot tile; one device gather
+        a_gath_all = _gather_scale(a_mat, jnp.asarray(padded_all), pymat)
+        bins_np = np.asarray(bins, dtype=np.int64)
+        idx11 = np.arange(11)[:, None] * 10 + np.arange(11)[None, :]
+        t2_p = np.asarray(table)[idx11][:, bins_np].astype(np_dtype)  # (11, m)
+        t2_p_d = jnp.asarray(t2_p)
+        eye11 = np.eye(11, dtype=np_dtype)
+    for t in hot:
         start = int(t) * tile
         batch = anchors[start:start + tile]
         pad = tile - len(batch)
         padded = padded_all[start:start + tile]
-        a_cols = a_mat[:, padded]
-        cut_rows = _cut_rows(table_d, bins_d, jnp.asarray(padded))
+        ba_onehot = jnp.asarray(eye11[bins_np[padded]])
         count, hi, hj, he = _screen_tile(
-            a_cols, jnp.asarray(padded), b_mat, pymat, cut_rows, mask_mode
+            a_gath_all, start, jnp.asarray(padded), ba_onehot, b_mat, t2_p_d,
+            mask_mode
         )
         count = int(count)
         if count > _HIT_CAP:
@@ -193,8 +252,8 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins, table, mask_mode, tile,
             # a capacity that fits (one extra compile at the larger cap)
             cap = 1 << int(count - 1).bit_length()
             count, hi, hj, he = _screen_tile(
-                a_cols, jnp.asarray(padded), b_mat, pymat, cut_rows,
-                mask_mode, cap=cap,
+                a_gath_all, start, jnp.asarray(padded), ba_onehot, b_mat,
+                t2_p_d, mask_mode, cap=cap,
             )
             count = int(count)
         if count == 0:
@@ -257,7 +316,7 @@ def _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
         raise ValueError("snp_lst_0 is out of range!")
 
     anchors = list(snp_lst_0)
-    tile = tile or _auto_tile(len(anchors))
+    tile = tile or _auto_tile(len(anchors), num_snp)
     if kind == "AA":
         res = [_run_screen(a_full, a_full, py, anchors, bins, table, "tri",
                            tile)]

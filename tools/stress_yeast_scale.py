@@ -45,19 +45,33 @@ def main():
     anchors = np.arange(N_SNP - 1, dtype=np.int32)
     bins = np.zeros(N_SNP, dtype=np.int64)
     table = np.full(111, cut, dtype=np.float32)
+    pairs = N_SNP * (N_SNP - 1) // 2
     t0 = time.perf_counter()
     i0, i1, eff = _run_screen(mat_d, mat_d, py_d, anchors, bins, table,
                               "tri", TILE)
     dt = time.perf_counter() - t0
-    pairs = N_SNP * (N_SNP - 1) // 2
-    print(f"screen+extract: {dt:.1f} s -> {pairs/dt/1e6:.1f} M pairs/s, "
+    print(f"cold (incl. compile): {dt:.1f} s -> {pairs/dt/1e6:.1f} M pairs/s,"
+          f" {len(i0):,} hits")
+    t0 = time.perf_counter()
+    i0, i1, eff = _run_screen(mat_d, mat_d, py_d, anchors, bins, table,
+                              "tri", TILE)
+    dt = time.perf_counter() - t0
+    print(f"warm: {dt:.1f} s -> {pairs/dt/1e6:.1f} M pairs/s, "
           f"{len(i0):,} hits")
 
-    # verify a sample of extracted hits and a no-miss check on 8 anchor rows
+    # Verify a sample of extracted hits and a no-miss check on 8 anchor rows.
+    # On TPU the screen GEMM computes in bfloat16 (screen.py:_screen_slack),
+    # so extracted eff values carry ~2^-8 relative error and the threshold
+    # is slacked by 2^-7 — the borderline band below goes to the exact
+    # re-test in the production pipelines.
+    from gmat_tpu.scan.screen import _screen_slack
+
+    slack = _screen_slack()
+    tol = 1e-2 if slack else 1e-3  # bf16 value error on TPU, f32 on CPU
     sel = rng.choice(len(i0), size=min(200, len(i0)), replace=False)
     for k in sel:
         direct = float(mat[:, i0[k]] * py @ mat[:, i1[k]])
-        assert abs(direct - eff[k]) < 1e-3 * max(1.0, abs(direct)), (
+        assert abs(direct - eff[k]) < tol * max(1.0, abs(direct)), (
             i0[k], i1[k], direct, eff[k])
     hit_set = set(zip(i0.tolist(), i1.tolist()))
     for a in rng.choice(N_SNP - 1, size=8, replace=False):
@@ -65,9 +79,11 @@ def main():
         expect = {(int(a), int(j)) for j in np.where(np.abs(row) > cut)[0]
                   if j > a}
         got = {p for p in hit_set if p[0] == int(a)}
-        # borderline f32 differences allowed within 0.1% of the cut
-        for p in expect ^ got:
-            assert abs(abs(row[p[1]]) - cut) < 1e-3 * cut, p
+        missed = expect - got
+        assert not missed, missed  # slack guarantees no false negatives
+        for p in got - expect:  # extras sit in the slack band below the cut
+            assert abs(row[p[1]]) > (1.0 - slack - tol) * cut, (
+                p, row[p[1]], cut)
     print("hit verification OK")
 
 

@@ -75,6 +75,7 @@ from gmat_tpu.scan.screen import (  # noqa: F401
     remma_epiDD_maf_eff,
     remma_epiDD_maf_eff_parallel,
 )
+from gmat_tpu.scan.accel import remma_epiAA_eff_gpu  # noqa: F401
 from gmat_tpu.io.pheno import (  # noqa: F401
     design_matrix_wemai_multi_gmat,
     design_matrix_wemai_multi_gmat_pred,

@@ -176,3 +176,84 @@ def test_maf_eff_parallel_union_matches_serial(tmp_path, legacy_setup,
     assert hits(tmp_path / "shard.1").isdisjoint(hits(tmp_path / "shard.2"))
     assert got == hits(tmp_path / "serial")
     assert len(got) > 0
+
+
+def test_common_helpers():
+    """gmat_tpu.common mirrors reference gmat/common/common.py:5-75."""
+    from gmat_tpu.common import (
+        Dtri_mat,
+        Dtri_matT,
+        dct_2D,
+        dct_3D,
+        get_logger,
+        is_float,
+        is_int,
+        tri_mat,
+        tri_matT,
+    )
+
+    assert is_int("42") and not is_int("4.2") and not is_int("x")
+    assert is_float("4.2") and not is_float("x")
+    d3 = dct_3D()
+    d3["a"]["b"]["c"] = 1
+    assert d3["a"]["b"]["c"] == 1
+    d2 = dct_2D()
+    d2["a"]["b"] = 2
+    assert d2["a"]["b"] == 2
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((3, 4))
+    b = rng.standard_normal((4, 4))
+    c = rng.standard_normal((4, 2))
+    dvec = rng.standard_normal(4)
+    np.testing.assert_allclose(tri_matT(a, b), a @ b @ a.T, rtol=1e-12)
+    np.testing.assert_allclose(tri_mat(a, b, c), a @ b @ c, rtol=1e-12)
+    np.testing.assert_allclose(Dtri_matT(a, dvec), (a * dvec) @ a.T,
+                               rtol=1e-12)
+    np.testing.assert_allclose(Dtri_mat(a, dvec, c), (a * dvec) @ c,
+                               rtol=1e-12)
+    assert get_logger("t").name == "t"
+
+
+def test_remma_epiAA_eff_gpu(tmp_path, legacy_setup, mouse_prefix):
+    """The remma_gpu surface (reference remma_epiAA_gpu.py:12-99) on TPU:
+    keep-everything default + threshold filtering vs a direct f64 oracle."""
+    import jax.numpy as jnp
+
+    from gmat_tpu.core.coding import additive_code
+    from gmat_tpu.io.bed import read_plink
+    from gmat_tpu.scan.accel import remma_epiAA_eff_gpu
+    from gmat_tpu.scan.common import score_pieces
+
+    dm, gmat_lst, var = legacy_setup
+    anchors = [0, 5]
+    res = remma_epiAA_eff_gpu(dm.y, dm.xmat, gmat_lst, var, mouse_prefix,
+                              snp_lst_0=anchors,
+                              out_file=str(tmp_path / "gpu_all"))
+    geno = read_plink(mouse_prefix)
+    m = geno.shape[1]
+    # default eff_cut=-999 keeps every tested pair (reference :12,85)
+    assert res.shape[0] == (m - 1) + (m - 6)
+    a = np.asarray(additive_code(jnp.asarray(geno))[0])
+    py = np.asarray(score_pieces(dm, gmat_lst, var).pymat)
+    eff_oracle = {
+        (i, j): float((a[:, i] * a[:, j]) @ py)
+        for i in anchors
+        for j in range(i + 1, m)
+    }
+    for i, j, e in res[::97]:
+        np.testing.assert_allclose(e, eff_oracle[(int(i), int(j))], rtol=1e-3,
+                                   atol=1e-6)
+    # a positive cut keeps exactly the oracle's survivors (slack-adjusted)
+    cut = float(np.quantile(np.abs(list(eff_oracle.values())), 0.99))
+    res_cut = remma_epiAA_eff_gpu(dm.y, dm.xmat, gmat_lst, var, mouse_prefix,
+                                  snp_lst_0=anchors, eff_cut=cut,
+                                  out_file=str(tmp_path / "gpu_cut"))
+    got = {(int(r[0]), int(r[1])) for r in res_cut}
+    # screen runs in f32 with a slack-lowered cut: everything clearly above
+    # the cut must survive; everything kept must be near-or-above the cut
+    must_keep = {k for k, v in eff_oracle.items() if abs(v) > cut * 1.0001}
+    may_keep = {k for k, v in eff_oracle.items() if abs(v) > cut * 0.98}
+    assert must_keep <= got <= may_keep
+    # file round-trips with the reference header
+    loaded = np.loadtxt(tmp_path / "gpu_cut", skiprows=1, ndmin=2)
+    assert loaded.shape == res_cut.shape

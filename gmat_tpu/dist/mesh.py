@@ -180,7 +180,8 @@ def sharded_screen_hits(mat: np.ndarray, pymat: np.ndarray, cut: float,
     i0, i1, eff = _run_screen(jnp.asarray(mat, dtype=jnp.float32),
                               jnp.asarray(mat, dtype=jnp.float32),
                               jnp.asarray(pymat, dtype=jnp.float32),
-                              hot, bins, table, "tri", min(tile, len(hot)))
+                              hot, bins, bins, table, "tri",
+                              min(tile, len(hot)))
     order = np.lexsort((i1, i0))
     return i0[order], i1[order], eff[order]
 

@@ -61,8 +61,8 @@ def remma_epiAA_eff_gpu(y, xmat, gmat_lst, var_com, bed_file, snp_lst_0=None,
     table = np.full(111, cut, dtype=np.float32)
     # keep-everything cuts flood wide tiles; match the legacy engine's sizing
     tile = min(256, 1 << max(0, int(len(anchors) - 1)).bit_length())
-    idx0, idx1, eff = _run_screen(mat, mat, py, anchors, bins, table, "tri",
-                                  tile)
+    idx0, idx1, eff = _run_screen(mat, mat, py, anchors, bins, bins, table,
+                                  "tri", tile)
     res = np.column_stack([idx0.astype(float), idx1.astype(float), eff])
     np.savetxt(out_file, res, header="snp_0 snp_1 eff", comments="")
     return res

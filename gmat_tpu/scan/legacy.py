@@ -265,10 +265,11 @@ def _epi_eff_cpu(kind, y, xmat, zmat, gmat_lst, var_com, bed_file, snp_lst_0,
     # tile no wider than the anchor list: padding duplicates anchors, and a
     # keep-everything cut (the reference's eff_cut=-999) floods the tile
     tile = min(256, 1 << max(0, int(len(anchors) - 1)).bit_length())
-    res = [_run_screen(mat0, mat1, py, anchors, bins, table, "tri", tile)]
+    res = [_run_screen(mat0, mat1, py, anchors, bins, bins, table, "tri",
+                       tile)]
     if kind == "AD":
-        res.append(_run_screen(mat1, mat0, py, anchors, bins, table, "tri",
-                               tile, flip_output=True))
+        res.append(_run_screen(mat1, mat0, py, anchors, bins, bins, table,
+                               "tri", tile, flip_output=True))
     with open(out_file, "w") as f:
         f.write("snp_0 snp_1 eff\n")
         for i0, i1, eff in res:

@@ -158,8 +158,8 @@ def _tile_worklist(anchors: np.ndarray, m: int, mask_mode: str,
 
 
 @partial(jax.jit, static_argnames=("mask_mode", "tile"))
-def _screen_counts_all(anchors_padded, a_mat, b_mat, py, bins, table,
-                       worklist, mask_mode, tile):
+def _screen_counts_all(anchors_padded, a_mat, b_mat, py, bins_a, bins_b,
+                       table, worklist, mask_mode, tile):
     """Phase 1: hit counts for every (anchor-tile, partner-tile) pair of the
     work list in ONE dispatch.
 
@@ -170,7 +170,11 @@ def _screen_counts_all(anchors_padded, a_mat, b_mat, py, bins, table,
     TPU notes: anchor columns are gathered ONCE up front (per-tile column
     gathers are strided and slow), and per-pair thresholds come from the
     bin-pair table via one-hot matmuls (an 8M-element table gather per tile
-    costs more than the screen GEMM itself)."""
+    costs more than the screen GEMM itself).
+
+    bins_a index the table rows (anchor side), bins_b the columns (partner
+    side) — distinct for AD, where the reference bins the A side by MAF and
+    the D side by heterozygote frequency (C kernel :330,337)."""
     dtype = a_mat.dtype
     m = b_mat.shape[1]
     m_pad = -(-m // tile) * tile
@@ -178,11 +182,11 @@ def _screen_counts_all(anchors_padded, a_mat, b_mat, py, bins, table,
         # pad partners with zero columns: |s| = 0 is never > a cut >= 0 with
         # the strict comparison, so padding adds no hits
         b_mat = jnp.pad(b_mat, ((0, 0), (0, m_pad - m)))
-        bins = jnp.pad(bins, (0, m_pad - m))
+        bins_b = jnp.pad(bins_b, (0, m_pad - m))
     a_gath = a_mat[:, anchors_padded] * py[:, None]  # one gather + scale
-    bins_anchor = bins[anchors_padded]
+    bins_anchor = bins_a[anchors_padded]
     t2 = _bin_table_11(table).astype(dtype)  # (11, 11)
-    t2_p = t2 @ jax.nn.one_hot(bins, 11, dtype=dtype).T  # (11, m_pad)
+    t2_p = t2 @ jax.nn.one_hot(bins_b, 11, dtype=dtype).T  # (11, m_pad)
     jt = jnp.arange(tile, dtype=jnp.int32)
 
     def pair_fn(tp):
@@ -206,23 +210,25 @@ def _screen_counts_all(anchors_padded, a_mat, b_mat, py, bins, table,
     return jax.lax.map(pair_fn, worklist)
 
 
-def _run_screen(a_mat, b_mat, pymat, anchors, bins, table, mask_mode, tile,
-                flip_output=False):
+def _run_screen(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
+                mask_mode, tile, flip_output=False):
     """Two-phase host driver: one counts dispatch, then per-non-empty-tile
-    extraction; returns (i, j, eff) arrays."""
+    extraction; returns (i, j, eff) arrays.  bins_a index the threshold
+    table's rows at the anchor SNP, bins_b its columns at the partner SNP."""
     anchors = np.asarray(anchors, dtype=np.int32)
     n_tiles = -(-len(anchors) // tile)
     padded_all = np.pad(anchors, (0, n_tiles * tile - len(anchors)),
                         constant_values=anchors[-1])
     np_dtype = np.dtype(a_mat.dtype)
-    bins_d = jnp.asarray(bins, dtype=jnp.int32)
+    bins_a_d = jnp.asarray(bins_a, dtype=jnp.int32)
+    bins_b_d = jnp.asarray(bins_b, dtype=jnp.int32)
     table = np.asarray(table) * (1.0 - _screen_slack())
     table_d = jnp.asarray(table, dtype=a_mat.dtype)
     work = _tile_worklist(padded_all, b_mat.shape[1], mask_mode, tile)
     pair_counts = np.asarray(
         _screen_counts_all(jnp.asarray(padded_all), a_mat, b_mat, pymat,
-                           bins_d, table_d, jnp.asarray(work), mask_mode,
-                           tile)
+                           bins_a_d, bins_b_d, table_d, jnp.asarray(work),
+                           mask_mode, tile)
     )
     counts = np.zeros(n_tiles, dtype=np.int64)
     np.add.at(counts, work[:, 0], pair_counts)
@@ -231,9 +237,10 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins, table, mask_mode, tile,
     if len(hot):
         # host-side precompute shared by every hot tile; one device gather
         a_gath_all = _gather_scale(a_mat, jnp.asarray(padded_all), pymat)
-        bins_np = np.asarray(bins, dtype=np.int64)
+        bins_a_np = np.asarray(bins_a, dtype=np.int64)
+        bins_b_np = np.asarray(bins_b, dtype=np.int64)
         idx11 = np.arange(11)[:, None] * 10 + np.arange(11)[None, :]
-        t2_p = np.asarray(table)[idx11][:, bins_np].astype(np_dtype)  # (11, m)
+        t2_p = np.asarray(table)[idx11][:, bins_b_np].astype(np_dtype)  # (11, m)
         t2_p_d = jnp.asarray(t2_p)
         eye11 = np.eye(11, dtype=np_dtype)
     for t in hot:
@@ -241,7 +248,7 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins, table, mask_mode, tile,
         batch = anchors[start:start + tile]
         pad = tile - len(batch)
         padded = padded_all[start:start + tile]
-        ba_onehot = jnp.asarray(eye11[bins_np[padded]])
+        ba_onehot = jnp.asarray(eye11[bins_a_np[padded]])
         count, hi, hj, he = _screen_tile(
             a_gath_all, start, jnp.asarray(padded), ba_onehot, b_mat, t2_p_d,
             mask_mode
@@ -279,19 +286,33 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins, table, mask_mode, tile,
 
 
 def _maf_bins(geno):
-    """int(maf*20) bins (reference remma_epiAA_maf_approx.py:38-41)."""
+    """int(maf*20) bins (reference remma_epiAA_maf_approx.py:38-41; the AD
+    variant calls this vector `freqA`, remma_epiAD_maf_approx.py:39-42)."""
     freq = 1.0 - np.sum(geno, axis=0) / (2.0 * geno.shape[0])
     freq = np.where(freq > 0.5, 1.0 - freq, freq)
     return freq, (freq * 20).astype(np.int64)
 
 
+def _het_bins(geno):
+    """int(het_freq*20) bins of the folded heterozygote frequency — the
+    dominance-side bin variable (reference remma_epiDD_maf_approx.py:39-44;
+    `freqD` in remma_epiAD_maf_approx.py:44-49)."""
+    freq = np.sum(np.abs(geno - 1.0) < 0.001, axis=0) / geno.shape[0]
+    freq = np.where(freq > 0.5, 1.0 - freq, freq)
+    return freq, (freq * 20).astype(np.int64)
+
+
 def _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
-                   snp_lst_0, eff_cut_table, bins, out_file, tile=None,
-                   screen_dtype=np.float32):
+                   snp_lst_0, eff_cut_table, bins_a, bins_b, out_file,
+                   tile=None, screen_dtype=np.float32, maf=False):
     """Shared driver for the *_eff / *_maf_eff family.
 
     eff_cut_table: (111,) per-bin-pair |eff| thresholds (flat constant for the
-    non-MAF variant); bins: (m,) per-SNP MAF bin indices (zeros if non-MAF).
+    non-MAF variant); bins_a/bins_b: (m,) per-SNP bin indices for the anchor
+    (table row) and partner (table column) side — equal except for AD, whose
+    anchor side bins by MAF and partner side by heterozygote frequency, in
+    BOTH orientations (C kernel _remma_epi_eff_cpu.c:330,337: the threshold
+    index is always freqA[anchor]*10 + freqD[partner]).
     Writes `snp_0 snp_1 eff` rows.  Returns the hit arrays.
     """
     dm = design_matrix(pheno_file, bed_prefix)
@@ -304,12 +325,15 @@ def _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     py = pieces.pymat.astype(screen_dtype)
     a_full = a_full.astype(screen_dtype)
     d_full = d_full.astype(screen_dtype)
-    bins = np.asarray(bins, dtype=np.int64)
+    bins_a = np.asarray(bins_a, dtype=np.int64)
+    bins_b = np.asarray(bins_b, dtype=np.int64)
     table = np.asarray(eff_cut_table, dtype=screen_dtype)
 
-    # AA/DD anchors stop at num_snp-2; AD's wrapper anchors over all SNPs
-    # (reference remma_epiAD_eff.py:57) — the j>i mask empties the last one.
-    hi_anchor = num_snp if kind == "AD" else num_snp - 1
+    # AA/DD anchors stop at num_snp-2; the plain AD wrapper anchors over all
+    # SNPs (reference remma_epiAD_eff.py:57) — the j>i mask empties the last
+    # one — while the AD *maf* wrapper caps at num_snp-1 like AA
+    # (remma_epiAD_maf_eff.py:61).
+    hi_anchor = num_snp if (kind == "AD" and not maf) else num_snp - 1
     if snp_lst_0 is None:
         snp_lst_0 = range(hi_anchor)
     elif max(snp_lst_0) >= hi_anchor or min(snp_lst_0) < 0:
@@ -318,17 +342,18 @@ def _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     anchors = list(snp_lst_0)
     tile = tile or _auto_tile(len(anchors), num_snp)
     if kind == "AA":
-        res = [_run_screen(a_full, a_full, py, anchors, bins, table, "tri",
-                           tile)]
+        res = [_run_screen(a_full, a_full, py, anchors, bins_a, bins_b,
+                           table, "tri", tile)]
     elif kind == "DD":
-        res = [_run_screen(d_full, d_full, py, anchors, bins, table, "tri",
-                           tile)]
-    else:  # AD: both orientations, j > i (C kernel :233-247)
+        res = [_run_screen(d_full, d_full, py, anchors, bins_a, bins_b,
+                           table, "tri", tile)]
+    else:  # AD: both orientations, j > i (C kernel :233-247); the threshold
+        # is indexed freqA[anchor]*10 + freqD[partner] in both directions
         res = [
-            _run_screen(a_full, d_full, py, anchors, bins, table, "tri",
-                        tile),
-            _run_screen(d_full, a_full, py, anchors, bins, table, "tri",
-                        tile, flip_output=True),
+            _run_screen(a_full, d_full, py, anchors, bins_a, bins_b, table,
+                        "tri", tile),
+            _run_screen(d_full, a_full, py, anchors, bins_a, bins_b, table,
+                        "tri", tile, flip_output=True),
         ]
     idx0 = np.concatenate([r[0] for r in res])
     idx1 = np.concatenate([r[1] for r in res])
@@ -340,9 +365,12 @@ def _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     return idx0, idx1, eff
 
 
-def _append_approx_p(screen_file, out_file, bins, freq_deno):
+def _append_approx_p(screen_file, out_file, bins_a, bins_b, freq_deno):
     """Append chi_app/p_app columns (reference remma_epiAA_eff.py:84-95,
-    remma_epiAA_maf_eff.py per-bin variant)."""
+    remma_epiAA_maf_eff.py per-bin variant).  The denominator is indexed
+    bins_a[snp_0]*10 + bins_b[snp_1] on the WRITTEN row — for AD's flipped
+    orientation this differs from the screening threshold index, replicating
+    the reference (remma_epiAD_maf_eff.py:102 vs C kernel :337)."""
     from scipy.stats import chi2 as chi2_dist
 
     with open(screen_file) as fin, open(out_file, "w") as fout:
@@ -350,7 +378,7 @@ def _append_approx_p(screen_file, out_file, bins, freq_deno):
         fout.write(head + " chi_app p_app\n")
         for line in fin:
             arr = line.split()
-            deno = freq_deno[bins[int(arr[0])] * 10 + bins[int(arr[1])]]
+            deno = freq_deno[bins_a[int(arr[0])] * 10 + bins_b[int(arr[1])]]
             chi_app = float(arr[-1]) ** 2 / deno
             p_app = chi2_dist.sf(chi_app, 1)
             fout.write(" ".join(arr + [str(chi_app), str(p_app)]) + "\n")
@@ -366,26 +394,29 @@ def _remma_epi_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     deno = np.full(111, var_app)
     tmp = out_file + ".temp"
     _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
-                   snp_lst_0, table, bins, tmp)
-    _append_approx_p(tmp, out_file, bins, deno)
+                   snp_lst_0, table, bins, bins, tmp)
+    _append_approx_p(tmp, out_file, bins, bins, deno)
     os.remove(tmp)
     return 0
 
 
 def _remma_epi_maf_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
-                       snp_lst_0=None, freq_bins=None, freq_deno=None,
-                       p_cut=1.0e-5, out_file="epi_maf_eff"):
+                       snp_lst_0=None, bins_a=None, bins_b=None,
+                       freq_deno=None, p_cut=1.0e-5, out_file="epi_maf_eff"):
     chi_cut = chi2_isf(p_cut, 1)
     geno, _, _ = prepare_genotypes(bed_prefix)
-    if freq_bins is None:
-        freq_bins = np.zeros(geno.shape[1], dtype=np.int64)
+    if bins_a is None:
+        bins_a = np.zeros(geno.shape[1], dtype=np.int64)
+    if bins_b is None:
+        bins_b = np.zeros(geno.shape[1], dtype=np.int64)
     if freq_deno is None:
         freq_deno = np.ones(111)
     table = np.sqrt(chi_cut * np.asarray(freq_deno))
     tmp = out_file + ".temp"
     _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
-                   snp_lst_0, table, freq_bins, tmp)
-    _append_approx_p(tmp, out_file, freq_bins, np.asarray(freq_deno))
+                   snp_lst_0, table, bins_a, bins_b, tmp, maf=True)
+    _append_approx_p(tmp, out_file, bins_a, bins_b, np.asarray(freq_deno))
+    os.remove(tmp)
     return 0
 
 
@@ -412,22 +443,34 @@ def remma_epiDD_eff(pheno_file, bed_prefix, gmat_lst, var_com, snp_lst_0=None,
 def remma_epiAA_maf_eff(pheno_file, bed_prefix, gmat_lst, var_com,
                         snp_lst_0=None, freq=None, freq_deno=None,
                         p_cut=1.0e-5, out_file="epiAA_maf_eff"):
+    """MAF-binned AA screen; `freq` = int(maf*20) bins for both SNPs
+    (reference remma_epiAA_maf_eff.py:20)."""
     return _remma_epi_maf_eff("AA", pheno_file, bed_prefix, gmat_lst, var_com,
-                              snp_lst_0, freq, freq_deno, p_cut, out_file)
+                              snp_lst_0, freq, freq, freq_deno, p_cut,
+                              out_file)
 
 
 def remma_epiAD_maf_eff(pheno_file, bed_prefix, gmat_lst, var_com,
-                        snp_lst_0=None, freq=None, freq_deno=None,
-                        p_cut=1.0e-5, out_file="epiAD_maf_eff"):
+                        snp_lst_0=None, freqA=None, freqD=None,
+                        freq_deno=None, p_cut=1.0e-5,
+                        out_file="epiAD_maf_eff"):
+    """Binned AD screen; `freqA` = int(maf*20) bins for the A-coded side,
+    `freqD` = int(het_freq*20) bins for the D-coded side (reference
+    remma_epiAD_maf_eff.py:110, C kernel :330,337)."""
     return _remma_epi_maf_eff("AD", pheno_file, bed_prefix, gmat_lst, var_com,
-                              snp_lst_0, freq, freq_deno, p_cut, out_file)
+                              snp_lst_0, freqA, freqD, freq_deno, p_cut,
+                              out_file)
 
 
 def remma_epiDD_maf_eff(pheno_file, bed_prefix, gmat_lst, var_com,
                         snp_lst_0=None, freq=None, freq_deno=None,
                         p_cut=1.0e-5, out_file="epiDD_maf_eff"):
+    """Binned DD screen; `freq` = int(het_freq*20) heterozygote-frequency
+    bins for both SNPs (reference remma_epiDD_maf_eff.py:20,
+    remma_epiDD_maf_approx.py:39-44)."""
     return _remma_epi_maf_eff("DD", pheno_file, bed_prefix, gmat_lst, var_com,
-                              snp_lst_0, freq, freq_deno, p_cut, out_file)
+                              snp_lst_0, freq, freq, freq_deno, p_cut,
+                              out_file)
 
 
 # approximate pipelines -------------------------------------------------------
@@ -506,33 +549,59 @@ def _remma_epi_maf_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
             p_cut=1.1, out_file=out_file + ".random")
     os.remove(rp)
     geno, _, _ = prepare_genotypes(bed_prefix)
-    freq, bins = _maf_bins(geno)
-    np.savetxt(out_file + ".freq", freq)
+    # bin variables per scan kind (reference remma_epi{AA,AD,DD}_maf_approx):
+    # AA bins both sides by MAF (.freq file); DD both sides by heterozygote
+    # frequency (.heter); AD bins the A side by MAF (.maf) and the D side by
+    # het frequency (.heter), with NO key symmetrization (ordered pairs).
+    if kind == "AA":
+        freq, bins_a = _maf_bins(geno)
+        np.savetxt(out_file + ".freq", freq)
+        bins_b, symmetric = bins_a, True
+    elif kind == "DD":
+        freq, bins_a = _het_bins(geno)
+        np.savetxt(out_file + ".heter", freq)
+        bins_b, symmetric = bins_a, True
+    else:  # AD
+        freq_a, bins_a = _maf_bins(geno)
+        freq_d, bins_b = _het_bins(geno)
+        np.savetxt(out_file + ".maf", freq_a)
+        np.savetxt(out_file + ".heter", freq_d)
+        symmetric = False
     # per-bin-pair mean variance with global-mean fallback (reference
     # remma_epiAA_maf_approx.py:43-70 — "median" in name, mean in math)
     res_df = pd.read_csv(out_file + ".random", header=0, sep=r"\s+")
     os.remove(out_file + ".random")
-    b0 = bins[res_df["snp_0"].to_numpy(dtype=np.int64)]
-    b1 = bins[res_df["snp_1"].to_numpy(dtype=np.int64)]
+    b0 = bins_a[res_df["snp_0"].to_numpy(dtype=np.int64)]
+    b1 = bins_b[res_df["snp_1"].to_numpy(dtype=np.int64)]
     v = res_df["var"].to_numpy()
     sums = np.zeros(111)
     counts = np.zeros(111)
     for bb0, bb1, vv in zip(b0, b1, v):
-        for key in (bb0 * 10 + bb1, bb1 * 10 + bb0):
+        keys = (bb0 * 10 + bb1, bb1 * 10 + bb0) if symmetric \
+            else (bb0 * 10 + bb1,)
+        for key in keys:
             sums[key] += vv
             counts[key] += 1
     global_mean = sums.sum() / counts.sum()
-    freq_deno = np.where(counts > 0, sums / np.maximum(counts, 1), global_mean)
-    freq_deno[counts == 0] = global_mean
-    present = np.unique(bins)
+    # baseline ones(111); only present-bin pairs get calibrated values
+    # (reference remma_epiAA_maf_approx.py:63-71)
+    freq_deno = np.ones(111)
     with open(out_file + ".freq_denominator", "w") as fout:
-        for k1 in present:
-            for k2 in present:
-                fout.write(f"{k1} {k2} {freq_deno[k1 * 10 + k2]}\n")
-    _remma_epi_maf_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
-                       snp_lst_0=snp_lst_0, freq_bins=bins,
-                       freq_deno=freq_deno, p_cut=p_cut,
-                       out_file=out_file + ".approx_p")
+        for k1 in np.unique(bins_a):
+            for k2 in np.unique(bins_b):
+                key = k1 * 10 + k2
+                freq_deno[key] = (sums[key] / counts[key]) if counts[key] \
+                    else global_mean
+                fout.write(f"{k1} {k2} {freq_deno[key]}\n")
+    maf_kwargs = (
+        {"freqA": bins_a, "freqD": bins_b} if kind == "AD"
+        else {"freq": bins_a}
+    )
+    _MAF_EFF = {"AA": remma_epiAA_maf_eff, "AD": remma_epiAD_maf_eff,
+                "DD": remma_epiDD_maf_eff}
+    _MAF_EFF[kind](pheno_file, bed_prefix, gmat_lst, var_com,
+                   snp_lst_0=snp_lst_0, freq_deno=freq_deno, p_cut=p_cut,
+                   out_file=out_file + ".approx_p", **maf_kwargs)
     pair_fn(pheno_file, bed_prefix, gmat_lst, var_com,
             snp_pair_file=out_file + ".approx_p", p_cut=1.1,
             out_file=out_file + ".exact_p")
@@ -672,11 +741,12 @@ def remma_epiDD_approx_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
 
 
 def _remma_epi_maf_eff_parallel(kind, pheno_file, bed_prefix, gmat_lst,
-                                var_com, parallel, freq=None, freq_deno=None,
-                                p_cut=1.0e-5, out_file="epi_maf_eff_parallel"):
+                                var_com, parallel, bins_a=None, bins_b=None,
+                                freq_deno=None, p_cut=1.0e-5,
+                                out_file="epi_maf_eff_parallel"):
     snp_lst_0 = _parallel_anchor_split(kind, bed_prefix, parallel)
     return _remma_epi_maf_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
-                              snp_lst_0, freq, freq_deno, p_cut,
+                              snp_lst_0, bins_a, bins_b, freq_deno, p_cut,
                               f"{out_file}.{parallel[1]}")
 
 
@@ -685,17 +755,19 @@ def remma_epiAA_maf_eff_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
                                  p_cut=1.0e-5,
                                  out_file="epiAA_maf_eff_parallel"):
     return _remma_epi_maf_eff_parallel("AA", pheno_file, bed_prefix, gmat_lst,
-                                       var_com, parallel, freq, freq_deno,
-                                       p_cut, out_file)
+                                       var_com, parallel, freq, freq,
+                                       freq_deno, p_cut, out_file)
 
 
 def remma_epiAD_maf_eff_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
-                                 parallel, freq=None, freq_deno=None,
-                                 p_cut=1.0e-5,
+                                 parallel, freqA=None, freqD=None,
+                                 freq_deno=None, p_cut=1.0e-5,
                                  out_file="epiAD_maf_eff_parallel"):
+    """AD shard screen; `freqA`/`freqD` as in `remma_epiAD_maf_eff`
+    (reference remma_epiAD_maf_eff.py:131)."""
     return _remma_epi_maf_eff_parallel("AD", pheno_file, bed_prefix, gmat_lst,
-                                       var_com, parallel, freq, freq_deno,
-                                       p_cut, out_file)
+                                       var_com, parallel, freqA, freqD,
+                                       freq_deno, p_cut, out_file)
 
 
 def remma_epiDD_maf_eff_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
@@ -703,8 +775,8 @@ def remma_epiDD_maf_eff_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
                                  p_cut=1.0e-5,
                                  out_file="epiDD_maf_eff_parallel"):
     return _remma_epi_maf_eff_parallel("DD", pheno_file, bed_prefix, gmat_lst,
-                                       var_com, parallel, freq, freq_deno,
-                                       p_cut, out_file)
+                                       var_com, parallel, freq, freq,
+                                       freq_deno, p_cut, out_file)
 
 
 def _remma_epi_maf_approx_parallel(kind, pheno_file, bed_prefix, gmat_lst,

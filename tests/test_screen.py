@@ -175,3 +175,106 @@ def test_annotation(tmp_path, mouse_prefix, setup):
     kept = {(r[0], r[7]) for r in body}
     assert ("0", "1000") in kept
     assert all(p != "5" for p, _ in kept)
+
+
+def test_het_bins_and_AD_maf_threshold_rule(tmp_path, mouse_geno,
+                                            mouse_pheno, mouse_prefix, setup):
+    """AD maf screen binning (reference C kernel :330,337): thresholds are
+    indexed freqA[anchor]*10 + freqD[partner] in BOTH orientations, with
+    freqA = int(maf*20) and freqD = int(het_freq*20); p_app uses the WRITTEN
+    row order (remma_epiAD_maf_eff.py:102)."""
+    from gmat_tpu.scan.screen import _het_bins, _maf_bins, remma_epiAD_maf_eff
+
+    ag, var_com, py = setup
+    geno = mouse_geno
+    n, m = geno.shape
+    freq_het, bins_d = _het_bins(geno)
+    het_direct = (np.abs(geno - 1.0) < 0.001).sum(0) / n
+    het_direct = np.where(het_direct > 0.5, 1.0 - het_direct, het_direct)
+    np.testing.assert_allclose(freq_het, het_direct, rtol=1e-12)
+    assert bins_d.max() <= 10
+    _, bins_a = _maf_bins(geno)
+    # het bins differ from maf bins somewhere on real data, else the test
+    # could not distinguish the two indexings
+    assert np.any(bins_a != bins_d)
+
+    eff_ad = _eff_matrix(mouse_geno, py, additive_code, dominance_code)
+    chi_cut = 19.511420964657572  # chi2.isf(1e-5, 1)
+    # bin-dependent denominators so wrong indexing changes the hit set
+    tri = np.triu_indices(m, k=1)
+    base = np.quantile(np.abs(eff_ad[tri]) ** 2 / chi_cut, 1 - 1e-3)
+    rng = np.random.default_rng(3)
+    freq_deno = base * rng.uniform(0.5, 2.0, size=111)
+    anchors = list(range(12))
+    out = str(tmp_path / "admaf")
+    remma_epiAD_maf_eff(mouse_pheno, mouse_prefix, [ag, ag * ag], var_com,
+                        snp_lst_0=anchors, freqA=bins_a, freqD=bins_d,
+                        freq_deno=freq_deno, p_cut=1e-5, out_file=out)
+    got = _read_hits(out)
+    got_set = {(int(r[0]), int(r[1])) for r in got.reshape(-1, 5)}
+    cut_of = lambda i, j: np.sqrt(chi_cut * freq_deno[bins_a[i] * 10
+                                                      + bins_d[j]])
+    want_core, want_max = set(), set()
+    for i in anchors:
+        for j in range(i + 1, m):
+            cut = cut_of(i, j)
+            # orientation 1: A_i x D_j -> row (i, j)
+            if np.abs(eff_ad[i, j]) > cut * (1 + 1e-4):
+                want_core.add((i, j))
+            if np.abs(eff_ad[i, j]) > cut * (1 - 0.02):
+                want_max.add((i, j))
+            # orientation 2: D_i x A_j -> row (j, i), SAME threshold index
+            if np.abs(eff_ad[j, i]) > cut * (1 + 1e-4):
+                want_core.add((j, i))
+            if np.abs(eff_ad[j, i]) > cut * (1 - 0.02):
+                want_max.add((j, i))
+    assert want_core <= got_set <= want_max
+    assert len(want_core) > 0
+    # p_app denominator follows the WRITTEN row: freq_deno[bA[s0]*10+bD[s1]]
+    for r in got.reshape(-1, 5)[:50]:
+        s0, s1, eff, chi_app = int(r[0]), int(r[1]), r[2], r[3]
+        deno = freq_deno[bins_a[s0] * 10 + bins_d[s1]]
+        np.testing.assert_allclose(chi_app, eff ** 2 / deno, rtol=1e-4)
+
+
+def test_maf_approx_bin_files_AD_DD(tmp_path, mouse_pheno, mouse_prefix,
+                                    setup):
+    """AD maf_approx writes .maf + .heter and a NON-symmetrized denominator
+    table over set(freqA) x set(freqD) (reference remma_epiAD_maf_approx.py:
+    41,48,68-75); DD bins by het frequency and writes .heter
+    (remma_epiDD_maf_approx.py:39-44)."""
+    import os
+
+    from gmat_tpu.scan.screen import (
+        _het_bins,
+        _maf_bins,
+        remma_epiAD_maf_approx,
+        remma_epiDD_maf_approx,
+    )
+    from gmat_tpu.io.bed import read_plink
+
+    ag, var_com, _ = setup
+    geno = read_plink(mouse_prefix)
+    out = str(tmp_path / "admafapprox")
+    remma_epiAD_maf_approx(mouse_pheno, mouse_prefix, [ag, ag * ag], var_com,
+                           p_cut=1e-4, num_random_pair=5000, out_file=out)
+    assert os.path.exists(out + ".maf")
+    assert os.path.exists(out + ".heter")
+    freq_a, bins_a = _maf_bins(geno)
+    freq_d, bins_d = _het_bins(geno)
+    np.testing.assert_allclose(np.loadtxt(out + ".maf"), freq_a, rtol=1e-10)
+    np.testing.assert_allclose(np.loadtxt(out + ".heter"), freq_d,
+                               rtol=1e-10)
+    deno_rows = np.loadtxt(out + ".freq_denominator", ndmin=2)
+    keys = {(int(r[0]), int(r[1])) for r in deno_rows}
+    assert keys == {(a, b) for a in set(bins_a) for b in set(bins_d)}
+    rows = np.loadtxt(out, skiprows=1, ndmin=2)
+    assert rows.shape[1] == 7 if rows.size else True
+
+    out_dd = str(tmp_path / "ddmafapprox")
+    remma_epiDD_maf_approx(mouse_pheno, mouse_prefix, [ag, ag * ag], var_com,
+                           p_cut=1e-4, num_random_pair=5000, out_file=out_dd)
+    assert os.path.exists(out_dd + ".heter")
+    assert not os.path.exists(out_dd + ".freq")
+    np.testing.assert_allclose(np.loadtxt(out_dd + ".heter"), freq_d,
+                               rtol=1e-10)

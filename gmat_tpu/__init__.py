@@ -76,6 +76,29 @@ from gmat_tpu.scan.screen import (  # noqa: F401
     remma_epiDD_maf_eff_parallel,
 )
 from gmat_tpu.scan.accel import remma_epiAA_eff_gpu  # noqa: F401
+from gmat_tpu.scan.array_api import (  # noqa: F401
+    _remma_add,
+    _remma_dom,
+    _remma_epiAA,
+    _remma_epiAA_eff,
+    _remma_epiAA_eff_parallel,
+    _remma_epiAA_maf_eff,
+    _remma_epiAA_pair,
+    _remma_epiAA_parallel,
+    _remma_epiAD,
+    _remma_epiAD_eff,
+    _remma_epiAD_eff_parallel,
+    _remma_epiAD_maf_eff,
+    _remma_epiAD_pair,
+    _remma_epiAD_parallel,
+    _remma_epiDD,
+    _remma_epiDD_eff,
+    _remma_epiDD_eff_parallel,
+    _remma_epiDD_maf_eff,
+    _remma_epiDD_pair,
+    _remma_epiDD_parallel,
+    _wemai_multi_gmat,
+)
 from gmat_tpu.io.pheno import (  # noqa: F401
     design_matrix_wemai_multi_gmat,
     design_matrix_wemai_multi_gmat_pred,

@@ -304,7 +304,7 @@ def _het_bins(geno):
 
 def _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                    snp_lst_0, eff_cut_table, bins_a, bins_b, out_file,
-                   tile=None, screen_dtype=np.float32, maf=False):
+                   tile=None, screen_dtype=np.float32, maf=False, dm=None):
     """Shared driver for the *_eff / *_maf_eff family.
 
     eff_cut_table: (111,) per-bin-pair |eff| thresholds (flat constant for the
@@ -313,9 +313,11 @@ def _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     anchor side bins by MAF and partner side by heterozygote frequency, in
     BOTH orientations (C kernel _remma_epi_eff_cpu.c:330,337: the threshold
     index is always freqA[anchor]*10 + freqD[partner]).
-    Writes `snp_0 snp_1 eff` rows.  Returns the hit arrays.
+    Writes `snp_0 snp_1 eff` rows.  Returns the hit arrays.  `dm` overrides
+    the phenotype-file parse for the array-level (y, xmat, zmat) API.
     """
-    dm = design_matrix(pheno_file, bed_prefix)
+    if dm is None:
+        dm = design_matrix(pheno_file, bed_prefix)
     pieces = score_pieces(dm, gmat_lst, var_com)
     geno, _, _ = prepare_genotypes(bed_prefix)
     num_snp = geno.shape[1]
@@ -386,7 +388,7 @@ def _append_approx_p(screen_file, out_file, bins_a, bins_b, freq_deno):
 
 def _remma_epi_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                    snp_lst_0=None, var_app=1.0, p_cut=1.0e-5,
-                   out_file="epi_eff"):
+                   out_file="epi_eff", dm=None):
     chi_cut = chi2_isf(p_cut, 1)
     table = np.full(111, np.sqrt(chi_cut * var_app))
     geno, _, _ = prepare_genotypes(bed_prefix)
@@ -394,7 +396,7 @@ def _remma_epi_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     deno = np.full(111, var_app)
     tmp = out_file + ".temp"
     _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
-                   snp_lst_0, table, bins, bins, tmp)
+                   snp_lst_0, table, bins, bins, tmp, dm=dm)
     _append_approx_p(tmp, out_file, bins, bins, deno)
     os.remove(tmp)
     return 0
@@ -402,7 +404,8 @@ def _remma_epi_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
 
 def _remma_epi_maf_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                        snp_lst_0=None, bins_a=None, bins_b=None,
-                       freq_deno=None, p_cut=1.0e-5, out_file="epi_maf_eff"):
+                       freq_deno=None, p_cut=1.0e-5, out_file="epi_maf_eff",
+                       dm=None):
     chi_cut = chi2_isf(p_cut, 1)
     geno, _, _ = prepare_genotypes(bed_prefix)
     if bins_a is None:
@@ -414,7 +417,7 @@ def _remma_epi_maf_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     table = np.sqrt(chi_cut * np.asarray(freq_deno))
     tmp = out_file + ".temp"
     _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
-                   snp_lst_0, table, bins_a, bins_b, tmp, maf=True)
+                   snp_lst_0, table, bins_a, bins_b, tmp, maf=True, dm=dm)
     _append_approx_p(tmp, out_file, bins_a, bins_b, np.asarray(freq_deno))
     os.remove(tmp)
     return 0

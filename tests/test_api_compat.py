@@ -257,3 +257,43 @@ def test_remma_epiAA_eff_gpu(tmp_path, legacy_setup, mouse_prefix):
     # file round-trips with the reference header
     loaded = np.loadtxt(tmp_path / "gpu_cut", skiprows=1, ndmin=2)
     assert loaded.shape == res_cut.shape
+
+
+def test_array_level_underscore_api(tmp_path, legacy_setup, mouse_pheno,
+                                    mouse_prefix):
+    """The reference exports array-level `_`-twins from its __init__s
+    (gmat/remma/__init__.py:4-5, remma_epiAA/__init__.py:8-11,
+    uvlmm/__init__.py:1); they must match the file-level engines."""
+    from gmat_tpu import (
+        _remma_epiAA_eff,
+        _remma_epiAA_pair,
+        _wemai_multi_gmat,
+    )
+    from gmat_tpu.scan.screen import remma_epiAA_eff
+
+    dm, gmat_lst, var = legacy_setup
+
+    # REML on arrays reproduces the golden variance components
+    var_arr = _wemai_multi_gmat(dm.y, dm.xmat, dm.z_dense(), gmat_lst)
+    np.testing.assert_allclose(var_arr, var, rtol=1e-5)
+
+    # array-level eff screen == file-level eff screen (incl. appended
+    # chi_app/p_app columns)
+    kw = dict(snp_lst_0=[0, 1, 2, 3], var_app=100.0, p_cut=1e-3)
+    _remma_epiAA_eff(dm.y, dm.xmat, dm.z_dense(), gmat_lst, var,
+                     mouse_prefix, out_file=str(tmp_path / "arr_eff"), **kw)
+    remma_epiAA_eff(mouse_pheno, mouse_prefix, gmat_lst, var,
+                    out_file=str(tmp_path / "file_eff"), **kw)
+    a = np.loadtxt(tmp_path / "arr_eff", skiprows=1, ndmin=2)
+    b = np.loadtxt(tmp_path / "file_eff", skiprows=1, ndmin=2)
+    np.testing.assert_allclose(a, b, rtol=1e-12)
+    assert a.shape[1] == 5 and a.shape[0] > 0
+
+    # pair test with the reference default signature
+    pair_file = tmp_path / "pairs"
+    pair_file.write_text("snp_0 snp_1\n3 11\n100 200\n")
+    _remma_epiAA_pair(dm.y, dm.xmat, dm.z_dense(), gmat_lst, var,
+                      mouse_prefix, str(pair_file), p_cut=1.1,
+                      out_file=str(tmp_path / "arr_pair"))
+    rows = np.loadtxt(tmp_path / "arr_pair", skiprows=1, ndmin=2)
+    assert rows.shape == (2, 6)

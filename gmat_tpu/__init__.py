@@ -32,6 +32,22 @@ from gmat_tpu.reml.wemai import (  # noqa: F401
     wemai_multi_gmat_pred,
 )
 from gmat_tpu.reml.eigen import uvlmm_varcom_eigen  # noqa: F401
+from gmat_tpu.reml.mme import (  # noqa: F401
+    ai_mme,
+    em_mme,
+    emai_mme,
+    pxem_mme,
+    pxemai_mme,
+)
+from gmat_tpu.scan.fixed_gwas import (  # noqa: F401
+    lm_pred,
+    lm_snp_eff,
+    uvlmm_gwas_add,
+    uvlmm_gwas_add_eigen,
+    uvlmm_gwas_dom,
+    uvlmm_gwas_dom_eigen,
+    uvlmm_gwas_epiAA,
+)
 from gmat_tpu.scan.annotation import (  # noqa: F401
     annotation_snp_nearest_gene,
     annotation_snp_pos,

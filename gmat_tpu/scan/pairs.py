@@ -73,10 +73,13 @@ def _pair_kernel(cols0, cols1, mat0, mat1, pymat, pvpmat):
 def _scan_anchors(mat0, mat1, pieces, snp_lst_0, num_snp, triangular, p_cut,
                   out_file, tile=None):
     """Device-tiled anchor sweep; host filters p<p_cut and appends rows."""
+    import time
+
     tile = tile or ScanConfig.anchor_tile
     np.savetxt(out_file, [_HEADER_SCAN], fmt="%s")
     anchors = np.asarray(list(snp_lst_0), dtype=np.int32)
     partner_ids = np.arange(num_snp)
+    clock_t0 = time.perf_counter()
     with open(out_file, "a") as fout:
         for start in range(0, len(anchors), tile):
             batch = anchors[start:start + tile]
@@ -105,6 +108,15 @@ def _scan_anchors(mat0, mat1, pieces, snp_lst_0, num_snp, triangular, p_cut,
                     }
                 )
                 df.to_csv(fout, sep=" ", header=False, index=False)
+    # scan-timing log contract (reference remma_epiAA.py:69-85 logs clock/CPU
+    # time around the anchor loop); pairs/s is the TPU throughput analog
+    dt = time.perf_counter() - clock_t0
+    n_pairs = (
+        int(np.sum(num_snp - 1 - anchors)) if triangular
+        else len(anchors) * num_snp
+    )
+    logger.info("Exact scan: %d anchors, %d tests in %.3f s (%.3g pairs/s)",
+                len(anchors), n_pairs, dt, n_pairs / max(dt, 1e-9))
     return 0
 
 

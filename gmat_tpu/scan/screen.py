@@ -215,6 +215,8 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
     """Two-phase host driver: one counts dispatch, then per-non-empty-tile
     extraction; returns (i, j, eff) arrays.  bins_a index the threshold
     table's rows at the anchor SNP, bins_b its columns at the partner SNP."""
+    import time
+
     anchors = np.asarray(anchors, dtype=np.int32)
     n_tiles = -(-len(anchors) // tile)
     padded_all = np.pad(anchors, (0, n_tiles * tile - len(anchors)),
@@ -225,10 +227,20 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
     table = np.asarray(table) * (1.0 - _screen_slack())
     table_d = jnp.asarray(table, dtype=a_mat.dtype)
     work = _tile_worklist(padded_all, b_mat.shape[1], mask_mode, tile)
+    clock_t0 = time.perf_counter()
     pair_counts = np.asarray(
         _screen_counts_all(jnp.asarray(padded_all), a_mat, b_mat, pymat,
                            bins_a_d, bins_b_d, table_d, jnp.asarray(work),
                            mask_mode, tile)
+    )
+    # per-phase wall time + throughput: the reference's scan-timing log
+    # contract (remma_epiAA_eff.py:81-83 "Running time: Clock time ...")
+    dt = time.perf_counter() - clock_t0
+    pairs_swept = len(work) * tile * tile
+    logger.info(
+        "Screen phase 1: %d tile pairs in %.3f s (%.3g pairs/s), "
+        "%d raw hits (incl. padding duplicates)", len(work), dt,
+        pairs_swept / max(dt, 1e-9), int(pair_counts.sum()),
     )
     counts = np.zeros(n_tiles, dtype=np.int64)
     np.add.at(counts, work[:, 0], pair_counts)
@@ -278,6 +290,10 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
         out_i.append(hi)
         out_j.append(hj)
         out_e.append(he)
+    if len(hot):
+        logger.info("Screen phase 2: extracted %d hits from %d hot tiles "
+                    "in %.3f s", sum(len(h) for h in out_i), len(hot),
+                    time.perf_counter() - clock_t0 - dt)
     if not out_i:
         return (np.empty(0, np.int64),) * 2 + (np.empty(0),)
     return (np.concatenate(out_i).astype(np.int64),

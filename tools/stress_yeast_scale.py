@@ -47,13 +47,13 @@ def main():
     table = np.full(111, cut, dtype=np.float32)
     pairs = N_SNP * (N_SNP - 1) // 2
     t0 = time.perf_counter()
-    i0, i1, eff = _run_screen(mat_d, mat_d, py_d, anchors, bins, table,
+    i0, i1, eff = _run_screen(mat_d, mat_d, py_d, anchors, bins, bins, table,
                               "tri", TILE)
     dt = time.perf_counter() - t0
     print(f"cold (incl. compile): {dt:.1f} s -> {pairs/dt/1e6:.1f} M pairs/s,"
           f" {len(i0):,} hits")
     t0 = time.perf_counter()
-    i0, i1, eff = _run_screen(mat_d, mat_d, py_d, anchors, bins, table,
+    i0, i1, eff = _run_screen(mat_d, mat_d, py_d, anchors, bins, bins, table,
                               "tri", TILE)
     dt = time.perf_counter() - t0
     print(f"warm: {dt:.1f} s -> {pairs/dt/1e6:.1f} M pairs/s, "

@@ -50,13 +50,16 @@ def remma_epiAA_eff_gpu(y, xmat, gmat_lst, var_com, bed_file, snp_lst_0=None,
     mat = additive_code(jnp.asarray(geno))[0].astype(jnp.float32)
     py = pieces.pymat.astype(jnp.float32)
 
-    if snp_lst_0 is None:
-        snp_lst_0 = range(m - 1)
-    elif max(snp_lst_0) >= m - 1 or min(snp_lst_0) < 0:
+    # materialize once up front: a generator would be consumed by max() and
+    # leave min()/list() empty
+    anchors = list(snp_lst_0) if snp_lst_0 is not None else list(range(m - 1))
+    if snp_lst_0 is not None and (max(anchors) >= m - 1 or min(anchors) < 0):
         raise ValueError("snp_lst_0 is out of range!")
-    anchors = list(snp_lst_0)
 
-    cut = max(float(eff_cut), 0.0)  # |eff| > negative cut == keep everything
+    # the raw (possibly negative) cut flows through: |eff| > -999 keeps every
+    # pair INCLUDING exact zeros (monomorphic SNPs give eff == 0.0 exactly),
+    # matching the reference's keep-all default (remma_epiAA_gpu.py:88-93)
+    cut = float(eff_cut)
     bins = np.zeros(m, dtype=np.int64)
     table = np.full(111, cut, dtype=np.float32)
     # keep-everything cuts flood wide tiles; match the legacy engine's sizing

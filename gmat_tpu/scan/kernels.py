@@ -147,9 +147,14 @@ def pallas_screen(mat, py, cut, interpret: bool = False):
                                             int(ti), int(tj), m)
         cnt = int(cnt)
         if cnt > 16384:
-            raise RuntimeError(
-                f"tile ({ti},{tj}) overflows extraction capacity ({cnt} hits)"
+            # keep-almost-everything cuts: re-extract with a capacity that
+            # fits (one extra compile at the larger cap — same retry contract
+            # as the XLA engine, scan/screen.py::_run_screen)
+            cap = 1 << int(cnt - 1).bit_length()
+            cnt, hi, hj, he = extract_tile_hits(
+                mat_p, py, jnp.float32(cut), int(ti), int(tj), m, cap=cap
             )
+            cnt = int(cnt)
         out_i.append(np.asarray(hi)[:cnt])
         out_j.append(np.asarray(hj)[:cnt])
         out_e.append(np.asarray(he)[:cnt])

@@ -180,7 +180,10 @@ def _screen_counts_all(anchors_padded, a_mat, b_mat, py, bins_a, bins_b,
     m_pad = -(-m // tile) * tile
     if m_pad != m:
         # pad partners with zero columns: |s| = 0 is never > a cut >= 0 with
-        # the strict comparison, so padding adds no hits
+        # the strict comparison, so padding adds no hits.  (Keep-everything
+        # NEGATIVE cuts count padding columns here, which only marks tiles
+        # hot; phase-2 extraction runs on the unpadded partner matrix and
+        # emits no padded pairs.)
         b_mat = jnp.pad(b_mat, ((0, 0), (0, m_pad - m)))
         bins_b = jnp.pad(bins_b, (0, m_pad - m))
     a_gath = a_mat[:, anchors_padded] * py[:, None]  # one gather + scale
@@ -338,11 +341,11 @@ def _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     geno, _, _ = prepare_genotypes(bed_prefix)
     num_snp = geno.shape[1]
     g = jnp.asarray(geno)
-    a_full, _, _ = additive_code(g)
-    d_full, _, _ = dominance_code(g)
+    # only materialize the coding(s) this kind needs: at yeast/bench scale an
+    # unused (n, m) float32 coding matrix is ~1.4 GB of dead HBM + transfer
+    a_full = additive_code(g)[0].astype(screen_dtype) if kind != "DD" else None
+    d_full = dominance_code(g)[0].astype(screen_dtype) if kind != "AA" else None
     py = pieces.pymat.astype(screen_dtype)
-    a_full = a_full.astype(screen_dtype)
-    d_full = d_full.astype(screen_dtype)
     bins_a = np.asarray(bins_a, dtype=np.int64)
     bins_b = np.asarray(bins_b, dtype=np.int64)
     table = np.asarray(eff_cut_table, dtype=screen_dtype)
@@ -676,15 +679,18 @@ def remma_epiDD_maf_approx(pheno_file, bed_prefix, gmat_lst, var_com,
                                  seed=seed)
 
 
-def _parallel_anchor_split(kind, bed_prefix, parallel):
-    """Balanced anchor split for a shard; AD anchors range over all SNPs
-    (reference remma_epiAD_eff.py:141-150 caps part 1 at num_snp, the
-    AA/DD variants at num_snp-1)."""
+def _parallel_anchor_split(kind, bed_prefix, parallel, maf=False):
+    """Balanced anchor split for a shard.
+
+    Plain AD anchors range over all SNPs (reference remma_epiAD_eff.py:147
+    caps part 1 at num_snp) but the AD *maf* split caps at num_snp-1 like
+    AA/DD (remma_epiAD_maf_eff.py:158) — matching the maf engine's own
+    hi_anchor validation."""
     from gmat_tpu.io.bed import read_bim
 
     num_snp = len(read_bim(bed_prefix + ".bim"))
     return balanced_anchor_split(num_snp, parallel[0], parallel[1],
-                                 triangular=(kind != "AD"))
+                                 triangular=(kind != "AD" or maf))
 
 
 def _remma_epi_eff_parallel(kind, pheno_file, bed_prefix, gmat_lst, var_com,
@@ -763,7 +769,7 @@ def _remma_epi_maf_eff_parallel(kind, pheno_file, bed_prefix, gmat_lst,
                                 var_com, parallel, bins_a=None, bins_b=None,
                                 freq_deno=None, p_cut=1.0e-5,
                                 out_file="epi_maf_eff_parallel"):
-    snp_lst_0 = _parallel_anchor_split(kind, bed_prefix, parallel)
+    snp_lst_0 = _parallel_anchor_split(kind, bed_prefix, parallel, maf=True)
     return _remma_epi_maf_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                               snp_lst_0, bins_a, bins_b, freq_deno, p_cut,
                               f"{out_file}.{parallel[1]}")
@@ -801,7 +807,7 @@ def remma_epiDD_maf_eff_parallel(pheno_file, bed_prefix, gmat_lst, var_com,
 def _remma_epi_maf_approx_parallel(kind, pheno_file, bed_prefix, gmat_lst,
                                    var_com, parallel, p_cut, num_random_pair,
                                    out_file, seed):
-    snp_lst_0 = _parallel_anchor_split(kind, bed_prefix, parallel)
+    snp_lst_0 = _parallel_anchor_split(kind, bed_prefix, parallel, maf=True)
     return _remma_epi_maf_approx(
         kind, pheno_file, bed_prefix, gmat_lst, var_com, p_cut,
         num_random_pair, f"{out_file}.{parallel[1]}", snp_lst_0=snp_lst_0,

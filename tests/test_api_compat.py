@@ -69,17 +69,21 @@ def test_simu_LDS_alias():
 
 
 def test_parallel_anchor_split_coverage(mouse_prefix):
-    """Shards must tile the anchor range exactly once; AD anchors extend to
-    num_snp (reference remma_epiAD_eff.py:141-150), AA/DD to num_snp-1."""
+    """Shards must tile the anchor range exactly once; plain AD anchors
+    extend to num_snp (reference remma_epiAD_eff.py:141-150), AA/DD to
+    num_snp-1, and AD *maf* also to num_snp-1 (remma_epiAD_maf_eff.py:158)."""
     from gmat_tpu.io.bed import read_bim
     from gmat_tpu.scan.screen import _parallel_anchor_split
 
     num_snp = len(read_bim(mouse_prefix + ".bim"))
-    for kind, hi in (("AA", num_snp - 1), ("AD", num_snp), ("DD", num_snp - 1)):
-        shards = [_parallel_anchor_split(kind, mouse_prefix, [3, i])
+    cases = [("AA", num_snp - 1, False), ("AD", num_snp, False),
+             ("DD", num_snp - 1, False), ("AA", num_snp - 1, True),
+             ("AD", num_snp - 1, True), ("DD", num_snp - 1, True)]
+    for kind, hi, maf in cases:
+        shards = [_parallel_anchor_split(kind, mouse_prefix, [3, i], maf=maf)
                   for i in (1, 2, 3)]
         union = sorted(a for s in shards for a in s)
-        assert union == list(range(hi)), kind
+        assert union == list(range(hi)), (kind, maf)
 
 
 @pytest.fixture(scope="module")
@@ -178,6 +182,42 @@ def test_maf_eff_parallel_union_matches_serial(tmp_path, legacy_setup,
     assert len(got) > 0
 
 
+def test_AD_maf_eff_parallel_union_matches_serial(tmp_path, legacy_setup,
+                                                  mouse_pheno, mouse_prefix):
+    """AD maf shards must cap anchors at num_snp-1 (the maf engine's own
+    validation; reference remma_epiAD_maf_eff.py:157) — the shard with
+    parallel[1]==1 used to include anchor num_snp-1 and raise."""
+    from gmat_tpu.io.bed import read_plink
+    from gmat_tpu.scan.screen import (
+        _het_bins,
+        _maf_bins,
+        remma_epiAD_maf_eff,
+        remma_epiAD_maf_eff_parallel,
+    )
+
+    _, gmat_lst, var = legacy_setup
+    geno = read_plink(mouse_prefix)
+    _, bins_a = _maf_bins(geno)
+    _, bins_d = _het_bins(geno)
+    deno = np.full(111, 2e-4)
+    kw = dict(freqA=bins_a, freqD=bins_d, freq_deno=deno, p_cut=1e-4)
+    remma_epiAD_maf_eff(mouse_pheno, mouse_prefix, gmat_lst, var,
+                        out_file=str(tmp_path / "serial"), **kw)
+    for i in (1, 2):
+        remma_epiAD_maf_eff_parallel(mouse_pheno, mouse_prefix, gmat_lst,
+                                     var, parallel=[2, i],
+                                     out_file=str(tmp_path / "shard"), **kw)
+
+    def hits(path):
+        rows = np.loadtxt(path, skiprows=1, ndmin=2)
+        return {(int(r[0]), int(r[1])) for r in rows.reshape(-1, 5)}
+
+    got = hits(tmp_path / "shard.1") | hits(tmp_path / "shard.2")
+    assert hits(tmp_path / "shard.1").isdisjoint(hits(tmp_path / "shard.2"))
+    assert got == hits(tmp_path / "serial")
+    assert len(got) > 0
+
+
 def test_common_helpers():
     """gmat_tpu.common mirrors reference gmat/common/common.py:5-75."""
     from gmat_tpu.common import (
@@ -257,6 +297,38 @@ def test_remma_epiAA_eff_gpu(tmp_path, legacy_setup, mouse_prefix):
     # file round-trips with the reference header
     loaded = np.loadtxt(tmp_path / "gpu_cut", skiprows=1, ndmin=2)
     assert loaded.shape == res_cut.shape
+
+
+def test_remma_epiAA_eff_gpu_keeps_zero_effect_rows(tmp_path, rng):
+    """Keep-everything default (eff_cut=-999) must keep pairs whose effect is
+    exactly 0 — every pair involving a monomorphic SNP (centered column is
+    all-zero), matching the reference remma_epiAA_gpu.py:85-93."""
+    from gmat_tpu.grm.grm import additive_grm
+    from gmat_tpu.io.bed import write_bed
+    from gmat_tpu.scan.accel import remma_epiAA_eff_gpu
+
+    import jax.numpy as jnp
+
+    n, m = 40, 12
+    geno = rng.choice([0.0, 1.0, 2.0], size=(n, m))
+    geno[:, 3] = 2.0  # monomorphic: centered A-coding is exactly zero
+    prefix = str(tmp_path / "mono")
+    write_bed(prefix, geno)
+    ag = np.asarray(additive_grm(jnp.asarray(geno)))
+    y = rng.standard_normal(n)
+    xmat = np.ones((n, 1))
+    res = remma_epiAA_eff_gpu(y, xmat, [ag, ag * ag],
+                              np.array([0.1, 0.05, 0.5]), prefix,
+                              out_file=str(tmp_path / "gpu_mono"))
+    # every tested pair present, including the m-1 zero-effect pairs
+    assert res.shape[0] == m * (m - 1) // 2
+    pairs = {(int(r[0]), int(r[1])): r[2] for r in res}
+    for j in range(m):
+        if j == 3:
+            continue
+        key = (min(3, j), max(3, j))
+        assert key in pairs
+        assert pairs[key] == 0.0
 
 
 def test_array_level_underscore_api(tmp_path, legacy_setup, mouse_pheno,

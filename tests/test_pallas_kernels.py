@@ -60,3 +60,23 @@ def test_no_hits_and_padding_tiles(problem):
     mat, py, _ = problem
     i0, i1, e = pallas_screen(mat, py, 1e9, interpret=True)
     assert len(i0) == 0
+
+
+def test_extraction_cap_retry(rng):
+    """A keep-almost-everything cut overflows the 16384-hit tile capacity;
+    the two-phase driver must re-extract with a larger cap instead of
+    raising (same retry contract as scan/screen.py::_run_screen)."""
+    n, m = 24, 700
+    mat = rng.standard_normal((n, m)).astype(np.float32)
+    py = rng.standard_normal(n).astype(np.float32) * 0.1
+    i0, i1, e = pallas_screen(mat, py, 1e-7, interpret=True)
+    eff = (mat * py[:, None]).T @ mat
+    want = {
+        (a, b)
+        for a, b in zip(*np.where(
+            (np.abs(eff) > 1e-7)
+            & (np.arange(m)[None, :] > np.arange(m)[:, None])
+        ))
+    }
+    assert len(want) > 16384  # the retry path is actually exercised
+    assert set(zip(i0.tolist(), i1.tolist())) == want

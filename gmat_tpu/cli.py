@@ -50,6 +50,12 @@ def main(argv=None):
         description="TPU-native REMMAX: GRMs, REML, epistasis scans, longwas",
     )
     parser.add_argument("-v", "--verbose", action="store_true")
+    parser.add_argument(
+        "--devices", type=int, default=None, metavar="N",
+        help="shard the compute over an N-device mesh (0 = all local "
+             "devices; omit for single-device). For multi-host pods call "
+             "gmat_tpu.dist.initialize_multihost first and pass 0.",
+    )
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("agmat", help="additive GRM")
@@ -146,16 +152,22 @@ def main(argv=None):
         format="%(message)s",
     )
 
+    mesh = None
+    if args.devices is not None:
+        from gmat_tpu.dist.mesh import make_mesh
+
+        mesh = make_mesh(args.devices or None)
+
     if args.cmd == "agmat":
         from gmat_tpu.grm.grm import agmat
 
         agmat(args.bed_prefix, inv=args.inv, small_val=args.small_val,
-              out_fmt=args.out_fmt)
+              out_fmt=args.out_fmt, mesh=mesh)
     elif args.cmd == "dgmat":
         from gmat_tpu.grm.grm import dgmat_as
 
         dgmat_as(args.bed_prefix, inv=args.inv, small_val=args.small_val,
-                 out_fmt=args.out_fmt)
+                 out_fmt=args.out_fmt, mesh=mesh)
     elif args.cmd == "inbreed":
         from gmat_tpu.grm.grm import ginbreedcoef
 
@@ -186,7 +198,7 @@ def main(argv=None):
         else:
             fn = getattr(pairs, f"remma_epi{kind}")
             fn(args.pheno, args.bed_prefix, gmat_lst, var, p_cut=args.p_cut,
-               out_file=args.out)
+               out_file=args.out, mesh=mesh)
     elif args.cmd.endswith("approx"):
         from gmat_tpu.scan import screen
 
@@ -198,7 +210,7 @@ def main(argv=None):
         getattr(screen, name)(args.pheno, args.bed_prefix, gmat_lst, var,
                               p_cut=args.p_cut,
                               num_random_pair=args.num_random_pair,
-                              out_file=args.out)
+                              out_file=args.out, mesh=mesh)
     elif args.cmd == "annotate":
         from gmat_tpu.scan.annotation import annotation_snp_pos
 

@@ -45,7 +45,8 @@ def dominance_grm(geno, small_val=0.001):
     return kin.at[jnp.diag_indices_from(kin)].set(diag)
 
 
-def _run_grm(bed_prefix, kind, inv, small_val, out_fmt, impute_seed):
+def _run_grm(bed_prefix, kind, inv, small_val, out_fmt, impute_seed,
+             mesh=None):
     bed = Bed(bed_prefix)
     geno = bed.read()
     if np.any(np.isnan(geno)):
@@ -53,7 +54,14 @@ def _run_grm(bed_prefix, kind, inv, small_val, out_fmt, impute_seed):
                     impute_seed)
         geno = impute_geno(geno, seed=impute_seed)
     logger.info("There are %d individuals and %d SNPs.", *geno.shape)
-    if kind == "add":
+    if mesh is not None:
+        from gmat_tpu.dist.mesh import sharded_additive_grm, sharded_dominance_grm
+
+        fn = sharded_additive_grm if kind == "add" else sharded_dominance_grm
+        kin = np.asarray(fn(geno, mesh, small_val))
+        suffix, inv_suffix = ((".agrm", ".agiv") if kind == "add"
+                              else (".dgrm_as", ".dgiv_as"))
+    elif kind == "add":
         kin = np.asarray(additive_grm(jnp.asarray(geno), small_val))
         suffix, inv_suffix = ".agrm", ".agiv"
     else:
@@ -71,21 +79,25 @@ def _run_grm(bed_prefix, kind, inv, small_val, out_fmt, impute_seed):
 
 
 def agmat(bed_prefix: str, inv: bool = False, small_val: float = 0.001,
-          out_fmt: str = "mat", impute_seed: int = 0):
+          out_fmt: str = "mat", impute_seed: int = 0, mesh=None):
     """Additive GRM (and optional inverse); writes `<prefix>.agrm*`.
 
-    Parity: reference `gmatrix.agmat` (gmatrix.py:34-94).
+    Parity: reference `gmatrix.agmat` (gmatrix.py:34-94).  With `mesh`, the
+    Gram product shards SNP columns over the device mesh (one psum).
     """
-    return _run_grm(bed_prefix, "add", inv, small_val, out_fmt, impute_seed)
+    return _run_grm(bed_prefix, "add", inv, small_val, out_fmt, impute_seed,
+                    mesh=mesh)
 
 
 def dgmat_as(bed_prefix: str, inv: bool = False, small_val: float = 0.001,
-             out_fmt: str = "mat", impute_seed: int = 0):
+             out_fmt: str = "mat", impute_seed: int = 0, mesh=None):
     """Dominance GRM (and optional inverse); writes `<prefix>.dgrm_as*`.
 
-    Parity: reference `gmatrix.dgmat_as` (gmatrix.py:97-159).
+    Parity: reference `gmatrix.dgmat_as` (gmatrix.py:97-159).  With `mesh`,
+    the Gram product shards SNP columns over the device mesh (one psum).
     """
-    return _run_grm(bed_prefix, "dom", inv, small_val, out_fmt, impute_seed)
+    return _run_grm(bed_prefix, "dom", inv, small_val, out_fmt, impute_seed,
+                    mesh=mesh)
 
 
 @jax.jit

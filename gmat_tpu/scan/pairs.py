@@ -26,6 +26,7 @@ preserved).  The anchor tiling doubles as the unit of multi-chip sharding
 from __future__ import annotations
 
 import logging
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +62,90 @@ def _anchor_tile_kernel(anchor_cols, mat0, mat1, pymat, pvpmat):
     return eff, var, chi, chi2_sf(chi, 1)
 
 
+_SCAN_HIT_CAP = 65536  # fixed per-anchor-tile hit capacity (static shapes)
+
+
+def _anchor_hits_body(tstart, anchors_padded, avalid, mat0, mat1, pymat,
+                      pvpmat, chi_crit, triangular, tile, cap):
+    """Fused exact-scan tile: eff/var/chi for one anchor tile against all
+    partners, thresholded and compacted ON DEVICE so only O(hits) rows cross
+    to host (the reference filters p<p_cut per anchor on host,
+    remma_epiAA.py:78-82; here chi > chi2.isf(p_cut, 1) is the same test).
+
+    anchors_padded/avalid: (n_tiles*TA,) anchor ids and validity mask
+    (padding anchors duplicate the last anchor and are masked out).  Returns
+    (count, snp_0, snp_1, eff, var, chi) with fixed capacity `cap`; the
+    caller re-invokes with a larger cap when count > cap.  Compaction is the
+    same int32 prefix-sum + scatter as the screen's
+    (`screen.py:_screen_tile_body`) — under the package-global x64 mode
+    `jnp.nonzero` emits int64 index math, which Mosaic rejects and TPUs
+    emulate slowly."""
+    anchor_cols = jax.lax.dynamic_slice_in_dim(anchors_padded, tstart, tile)
+    row_valid = jax.lax.dynamic_slice_in_dim(avalid, tstart, tile)
+    eff, var = jax.vmap(_one_anchor, in_axes=(0, None, None, None, None))(
+        anchor_cols, mat0, mat1, pymat, pvpmat
+    )
+    chi = eff * eff / var  # (TA, m); 0/0 -> NaN -> never a hit
+    m = mat1.shape[1]
+    j_ids = jnp.arange(m, dtype=jnp.int32)[None, :]
+    valid = row_valid[:, None]
+    if triangular:
+        valid = valid & (j_ids > anchor_cols[:, None])
+    hit = (chi > chi_crit) & valid
+    flat = hit.ravel()
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    count = pos[-1] + 1
+    dest = jnp.where(flat, pos, cap)  # non-hits land in the spare slot
+    flat_idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    buf = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(flat_idx, mode="drop")
+    sel = buf[:cap]
+    rows = sel // m
+    cols = sel % m
+    return (count, anchor_cols[rows], cols, eff[rows, cols], var[rows, cols],
+            chi[rows, cols])
+
+
+@partial(jax.jit, static_argnames=("triangular", "tile", "cap"))
+def _anchor_tiles_batch(tstarts, anchors_padded, avalid, mat0, mat1, pymat,
+                        pvpmat, chi_crit, triangular, tile, cap):
+    """ONE dispatch for a batch of anchor tiles: lax.map of
+    `_anchor_hits_body` over the (K,) tile starts."""
+
+    def one(tstart):
+        return _anchor_hits_body(tstart, anchors_padded, avalid, mat0, mat1,
+                                 pymat, pvpmat, chi_crit, triangular, tile,
+                                 cap)
+
+    return jax.lax.map(one, tstarts)
+
+
+def _anchor_tiles_mesh(mesh, tstarts, anchors_padded, avalid, mat0, mat1,
+                       pymat, pvpmat, chi_crit, triangular, tile, cap):
+    """Exact-scan tiles over a device mesh: the tile list is sharded over
+    the mesh axis, genotype codings and pymat/pvpmat replicated.  Each
+    device runs the SAME per-tile math as the single-device path, so the
+    merged output is byte-identical to a single-device run."""
+    from jax.sharding import PartitionSpec as P
+
+    from gmat_tpu.dist.mesh import AXIS
+
+    @jax.jit
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(AXIS), P(None), P(None), P(None, None), P(None, None),
+                  P(None), P(None, None)),
+        out_specs=(P(AXIS),) + (P(AXIS, None),) * 5,
+    )
+    def kernel(ts, ap, av, m0, m1, py, pvp):
+        def one(tstart):
+            return _anchor_hits_body(tstart, ap, av, m0, m1, py, pvp,
+                                     chi_crit, triangular, tile, cap)
+
+        return jax.lax.map(one, ts)
+
+    return kernel(tstarts, anchors_padded, avalid, mat0, mat1, pymat, pvpmat)
+
+
 @jax.jit
 def _pair_kernel(cols0, cols1, mat0, mat1, pymat, pvpmat):
     e = mat0[:, cols0] * mat1[:, cols1]  # (n, B)
@@ -70,41 +155,90 @@ def _pair_kernel(cols0, cols1, mat0, mat1, pymat, pvpmat):
     return eff, var, chi, chi2_sf(chi, 1)
 
 
+def _chi2_sf_host(chi):
+    """Host-side df=1 survival function, same erfc identity as
+    core.stats.chi2_sf (avoids one device dispatch per tile on tunneled
+    backends where every dispatch is a network round trip)."""
+    from scipy.special import erfc
+
+    return erfc(np.sqrt(np.maximum(chi, 0.0) / 2.0))
+
+
 def _scan_anchors(mat0, mat1, pieces, snp_lst_0, num_snp, triangular, p_cut,
-                  out_file, tile=None):
-    """Device-tiled anchor sweep; host filters p<p_cut and appends rows."""
+                  out_file, tile=None, mesh=None):
+    """Device-tiled anchor sweep with ON-DEVICE p-filtering + compaction:
+    one dispatch per anchor-tile group, O(hits) host transfer (VERDICT item
+    3 — the previous version fetched four full (tile, m) float64 panels and
+    filtered per anchor in Python).  With `mesh`, each dispatch spreads
+    ndev tiles over the device mesh (same per-tile math, so mesh output is
+    byte-identical to single-device)."""
     import time
 
-    tile = tile or ScanConfig.anchor_tile
+    from gmat_tpu.core.stats import chi2_isf
+
     np.savetxt(out_file, [_HEADER_SCAN], fmt="%s")
     anchors = np.asarray(list(snp_lst_0), dtype=np.int32)
-    partner_ids = np.arange(num_snp)
+    chi_crit = chi2_isf(p_cut, 1) if p_cut < 1.0 else -1.0
+    ndev = int(mesh.devices.size) if mesh is not None else 1
+    # shrink the tile when the anchor list is small so padding anchors
+    # (duplicates of the last anchor, masked from the output but not from
+    # the GEMM) never dominate the FLOPs; per-anchor results are
+    # tile-size-independent, so this cannot change the output
+    tile = tile or ScanConfig.anchor_tile
+    tile = max(8, min(tile, -(-len(anchors) // ndev)))
+    n_tiles = -(-len(anchors) // tile)
+    n_tiles_pad = -(-n_tiles // ndev) * ndev
+    padded_all = np.pad(anchors, (0, n_tiles_pad * tile - len(anchors)),
+                        constant_values=anchors[-1])
+    avalid = np.arange(len(padded_all)) < len(anchors)
+    padded_d = jnp.asarray(padded_all)
+    avalid_d = jnp.asarray(avalid)
+    # keep-all scans (p_cut >= 1, the approx re-test convention) fill a tile
+    # completely: size the buffer up front instead of retrying every tile
+    cap0 = _SCAN_HIT_CAP if chi_crit > 0 else 1 << (tile * num_snp - 1).bit_length()
     clock_t0 = time.perf_counter()
+    n_hits = 0
     with open(out_file, "a") as fout:
-        for start in range(0, len(anchors), tile):
-            batch = anchors[start:start + tile]
-            pad = tile - len(batch)
-            padded = np.pad(batch, (0, pad), constant_values=batch[-1])
-            eff, var, chi, p = (
-                np.asarray(a)
-                for a in _anchor_tile_kernel(
-                    jnp.asarray(padded), mat0, mat1, pieces.pymat, pieces.pvpmat
-                )
+        for g in range(0, n_tiles_pad, ndev):
+            tstarts = jnp.asarray(
+                np.arange(g, g + ndev, dtype=np.int32) * tile
             )
-            for b, i in enumerate(batch):
-                js = partner_ids[i + 1:] if triangular else partner_ids
-                row_p = p[b, i + 1:] if triangular else p[b]
-                keep = row_p < p_cut
-                if not np.any(keep):
+            if mesh is not None:
+                out = _anchor_tiles_mesh(mesh, tstarts, padded_d, avalid_d,
+                                         mat0, mat1, pieces.pymat,
+                                         pieces.pvpmat, chi_crit, triangular,
+                                         tile, cap0)
+            else:
+                out = _anchor_tiles_batch(tstarts, padded_d, avalid_d, mat0,
+                                          mat1, pieces.pymat, pieces.pvpmat,
+                                          chi_crit, triangular, tile, cap0)
+            counts = np.asarray(out[0])
+            arrs = [np.asarray(a) for a in out[1:]]
+            for k in range(min(ndev, n_tiles - g)):
+                count = int(counts[k])
+                if count > cap0:
+                    # rare: a p_cut<1 tile denser than the default buffer —
+                    # re-extract just that tile with a capacity that fits
+                    cap = 1 << int(count - 1).bit_length()
+                    sub = _anchor_tiles_batch(
+                        tstarts[k:k + 1], padded_d, avalid_d, mat0, mat1,
+                        pieces.pymat, pieces.pvpmat, chi_crit, triangular,
+                        tile, cap)
+                    count = int(np.asarray(sub[0])[0])
+                    row = [np.asarray(a)[0, :count] for a in sub[1:]]
+                else:
+                    row = [a[k, :count] for a in arrs]
+                if count == 0:
                     continue
-                sel = js[keep]
+                i_sel, j_sel, eff, var, chi = row
+                n_hits += count
                 df = pd.DataFrame(
                     {
-                        0: np.full(sel.shape, i, dtype=np.int64),
-                        1: sel.astype(np.int64),
-                        2: (eff[b, i + 1:] if triangular else eff[b])[keep],
-                        3: (chi[b, i + 1:] if triangular else chi[b])[keep],
-                        4: row_p[keep],
+                        0: i_sel.astype(np.int64),
+                        1: j_sel.astype(np.int64),
+                        2: eff,
+                        3: chi,
+                        4: _chi2_sf_host(chi),
                     }
                 )
                 df.to_csv(fout, sep=" ", header=False, index=False)
@@ -115,8 +249,9 @@ def _scan_anchors(mat0, mat1, pieces, snp_lst_0, num_snp, triangular, p_cut,
         int(np.sum(num_snp - 1 - anchors)) if triangular
         else len(anchors) * num_snp
     )
-    logger.info("Exact scan: %d anchors, %d tests in %.3f s (%.3g pairs/s)",
-                len(anchors), n_pairs, dt, n_pairs / max(dt, 1e-9))
+    logger.info("Exact scan: %d anchors, %d tests, %d hits in %.3f s "
+                "(%.3g pairs/s)", len(anchors), n_pairs, n_hits, dt,
+                n_pairs / max(dt, 1e-9))
     return 0
 
 
@@ -148,34 +283,34 @@ def _validate_anchors(snp_lst_0, num_snp, triangular):
 
 
 def _remma_epi(kind, pheno_file, bed_prefix, gmat_lst, var_com, snp_lst_0,
-               p_cut, out_file, tile=None):
+               p_cut, out_file, tile=None, mesh=None):
     mat0, mat1, pieces, num_snp, triangular = _epi_setup(
         pheno_file, bed_prefix, gmat_lst, var_com, kind
     )
     snp_lst_0 = _validate_anchors(snp_lst_0, num_snp, triangular)
     return _scan_anchors(mat0, mat1, pieces, snp_lst_0, num_snp, triangular,
-                         p_cut, out_file, tile=tile)
+                         p_cut, out_file, tile=tile, mesh=mesh)
 
 
 def remma_epiAA(pheno_file, bed_prefix, gmat_lst, var_com, snp_lst_0=None,
-                p_cut=1.0e-5, out_file="epiAA"):
+                p_cut=1.0e-5, out_file="epiAA", mesh=None):
     """Exhaustive additive x additive scan (strict upper triangle)."""
     return _remma_epi("AA", pheno_file, bed_prefix, gmat_lst, var_com,
-                      snp_lst_0, p_cut, out_file)
+                      snp_lst_0, p_cut, out_file, mesh=mesh)
 
 
 def remma_epiAD(pheno_file, bed_prefix, gmat_lst, var_com, snp_lst_0=None,
-                p_cut=1.0e-5, out_file="epiAD"):
+                p_cut=1.0e-5, out_file="epiAD", mesh=None):
     """Exhaustive additive x dominance scan (full ordered rectangle)."""
     return _remma_epi("AD", pheno_file, bed_prefix, gmat_lst, var_com,
-                      snp_lst_0, p_cut, out_file)
+                      snp_lst_0, p_cut, out_file, mesh=mesh)
 
 
 def remma_epiDD(pheno_file, bed_prefix, gmat_lst, var_com, snp_lst_0=None,
-                p_cut=1.0e-5, out_file="epiDD"):
+                p_cut=1.0e-5, out_file="epiDD", mesh=None):
     """Exhaustive dominance x dominance scan (strict upper triangle)."""
     return _remma_epi("DD", pheno_file, bed_prefix, gmat_lst, var_com,
-                      snp_lst_0, p_cut, out_file)
+                      snp_lst_0, p_cut, out_file, mesh=mesh)
 
 
 def balanced_anchor_split(num_snp: int, n_parts: int, part: int,
@@ -228,8 +363,33 @@ def remma_epiDD_parallel(pheno_file, bed_prefix, gmat_lst, var_com, parallel,
                                var_com, parallel, p_cut, out_file)
 
 
+def _pair_kernel_mesh(mesh, cols0, cols1, mat0, mat1, pymat, pvpmat):
+    """Pair test with the pair list sharded over the device mesh (codings
+    and pymat/pvpmat replicated); same math as `_pair_kernel`, byte-identical
+    output.  The caller pads the pair list to a mesh-size multiple."""
+    from jax.sharding import PartitionSpec as P
+
+    from gmat_tpu.dist.mesh import AXIS
+
+    @jax.jit
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(None, None), P(None, None), P(None),
+                  P(None, None)),
+        out_specs=(P(AXIS),) * 4,
+    )
+    def kernel(c0, c1, m0, m1, py, pvp):
+        e = m0[:, c0] * m1[:, c1]  # (n, B_local)
+        eff = e.T @ py
+        var = jnp.sum(e * (pvp @ e), axis=0)
+        chi = eff * eff / var
+        return eff, var, chi, chi2_sf(chi, 1)
+
+    return kernel(cols0, cols1, mat0, mat1, pymat, pvpmat)
+
+
 def _remma_epi_pair(kind, pheno_file, bed_prefix, gmat_lst, var_com,
-                    snp_pair_file, max_test_pair, p_cut, out_file):
+                    snp_pair_file, max_test_pair, p_cut, out_file, mesh=None):
     """Exact test for an explicit pair list, chunked max_test_pair at a time
     (reference remma_epiAA_pair.py:16-92)."""
     mat0, mat1, pieces, num_snp, _ = _epi_setup(
@@ -239,17 +399,29 @@ def _remma_epi_pair(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                         skiprows=1, header=None).to_numpy(dtype=np.int64)
     if pairs.size and (pairs.max() > num_snp - 1 or pairs.min() < 0):
         raise ValueError("snp_pair is out of range!")
+    ndev = int(mesh.devices.size) if mesh is not None else 1
     np.savetxt(out_file, [_HEADER_PAIR], fmt="%s")
     with open(out_file, "a") as fout:
         for start in range(0, len(pairs), max_test_pair):
             chunk = pairs[start:start + max_test_pair]
-            eff, var, chi, p = (
-                np.asarray(a)
-                for a in _pair_kernel(
-                    jnp.asarray(chunk[:, 0]), jnp.asarray(chunk[:, 1]),
-                    mat0, mat1, pieces.pymat, pieces.pvpmat,
+            if mesh is not None:
+                npad = (-len(chunk)) % ndev
+                cpad = np.concatenate([chunk, np.repeat(chunk[-1:], npad, 0)])
+                eff, var, chi, p = (
+                    np.asarray(a)[: len(chunk)]
+                    for a in _pair_kernel_mesh(
+                        mesh, jnp.asarray(cpad[:, 0]), jnp.asarray(cpad[:, 1]),
+                        mat0, mat1, pieces.pymat, pieces.pvpmat,
+                    )
                 )
-            )
+            else:
+                eff, var, chi, p = (
+                    np.asarray(a)
+                    for a in _pair_kernel(
+                        jnp.asarray(chunk[:, 0]), jnp.asarray(chunk[:, 1]),
+                        mat0, mat1, pieces.pymat, pieces.pvpmat,
+                    )
+                )
             keep = p < p_cut
             df = pd.DataFrame(
                 {
@@ -266,18 +438,24 @@ def _remma_epi_pair(kind, pheno_file, bed_prefix, gmat_lst, var_com,
 
 
 def remma_epiAA_pair(pheno_file, bed_prefix, gmat_lst, var_com, snp_pair_file,
-                     max_test_pair=50000, p_cut=1.0e-4, out_file="epiAA_pair"):
+                     max_test_pair=50000, p_cut=1.0e-4, out_file="epiAA_pair",
+                     mesh=None):
     return _remma_epi_pair("AA", pheno_file, bed_prefix, gmat_lst, var_com,
-                           snp_pair_file, max_test_pair, p_cut, out_file)
+                           snp_pair_file, max_test_pair, p_cut, out_file,
+                           mesh=mesh)
 
 
 def remma_epiAD_pair(pheno_file, bed_prefix, gmat_lst, var_com, snp_pair_file,
-                     max_test_pair=50000, p_cut=1.0e-4, out_file="epiAD_pair"):
+                     max_test_pair=50000, p_cut=1.0e-4, out_file="epiAD_pair",
+                     mesh=None):
     return _remma_epi_pair("AD", pheno_file, bed_prefix, gmat_lst, var_com,
-                           snp_pair_file, max_test_pair, p_cut, out_file)
+                           snp_pair_file, max_test_pair, p_cut, out_file,
+                           mesh=mesh)
 
 
 def remma_epiDD_pair(pheno_file, bed_prefix, gmat_lst, var_com, snp_pair_file,
-                     max_test_pair=50000, p_cut=1.0e-4, out_file="epiDD_pair"):
+                     max_test_pair=50000, p_cut=1.0e-4, out_file="epiDD_pair",
+                     mesh=None):
     return _remma_epi_pair("DD", pheno_file, bed_prefix, gmat_lst, var_com,
-                           snp_pair_file, max_test_pair, p_cut, out_file)
+                           snp_pair_file, max_test_pair, p_cut, out_file,
+                           mesh=mesh)

@@ -62,18 +62,16 @@ def _screen_slack() -> float:
     return 2.0 ** -6 if jax.default_backend() == "tpu" else 0.0
 
 
-@partial(jax.jit, static_argnames=("mask_mode", "cap"))
-def _screen_tile(a_gath, tstart, a_idx, ba_onehot, b_mat, t2_p, mask_mode,
-                 cap=_HIT_CAP):
-    """One anchor tile vs all partners -> compacted hits, ONE dispatch.
+def _screen_tile_body(tstart, anchors_padded, bins_anchor, a_gath, b_mat,
+                      t2_p, mask_mode, tile, cap):
+    """One anchor tile vs all partners -> compacted hits.
 
     a_gath: (n, n_tiles*TA) all anchor columns pre-scaled by pymat (sliced
-    at tstart inside the kernel so per-tile calls reuse one gather);
-    a_idx: (TA,) absolute SNP indices; ba_onehot: (TA, 11) one-hot anchor
-    MAF bins; b_mat: (n, m) partner-coded matrix; t2_p: (11, m) bin-pair
-    thresholds expanded over partners.  mask_mode: 'tri' keeps j > i
-    (AA/DD); 'nodiag' keeps j != i (AD).  Returns (count, idx0, idx1, eff)
-    with fixed capacity `cap`.
+    at tstart so batched calls reuse one gather); bins_anchor: (n_tiles*TA,)
+    anchor MAF bins; b_mat: (n, m) partner-coded matrix; t2_p: (11, m)
+    bin-pair thresholds expanded over partners.  mask_mode: 'tri' keeps
+    j > i (AA/DD); 'nodiag' keeps j != i (AD).  Returns
+    (count, idx0, idx1, eff) with fixed capacity `cap`.
 
     TPU notes (each measured on the yeast-scale stress shape):
     - per-pair cuts come from two small one-hot matmuls, not a (TA, m)
@@ -81,14 +79,16 @@ def _screen_tile(a_gath, tstart, a_idx, ba_onehot, b_mat, t2_p, mask_mode,
       emulated int64 index math (seconds per tile);
     - compaction is a hand-rolled int32 prefix-sum + scatter rather than
       `jnp.nonzero` (int64 again: 10.5s -> 0.6s per tile).  Hits beyond
-      `cap` are dropped by the scatter (`mode="drop"`); the caller
-      re-invokes with a larger cap when count > cap.
+      `cap` are dropped by the scatter (`mode="drop"`); the driver sizes
+      `cap` from the phase-1 counts, which upper-bound every tile.
     """
+    dtype = a_gath.dtype
     m = b_mat.shape[1]
-    a_scaled = jax.lax.dynamic_slice_in_dim(a_gath, tstart,
-                                            a_idx.shape[0], axis=1)
+    a_idx = jax.lax.dynamic_slice_in_dim(anchors_padded, tstart, tile)
+    a_scaled = jax.lax.dynamic_slice_in_dim(a_gath, tstart, tile, axis=1)
+    ba = jax.lax.dynamic_slice_in_dim(bins_anchor, tstart, tile)
     s = a_scaled.T @ b_mat  # (TA, m) — the MXU GEMM
-    cut_rows = ba_onehot @ t2_p  # (TA, m) per-pair thresholds
+    cut_rows = jax.nn.one_hot(ba, 11, dtype=dtype) @ t2_p  # per-pair cuts
     j_ids = jnp.arange(m, dtype=jnp.int32)[None, :]
     if mask_mode == "tri":
         valid = j_ids > a_idx[:, None]
@@ -105,6 +105,48 @@ def _screen_tile(a_gath, tstart, a_idx, ba_onehot, b_mat, t2_p, mask_mode,
     rows = sel // m
     cols = sel % m
     return count, a_idx[rows], cols, s[rows, cols]
+
+
+@partial(jax.jit, static_argnames=("mask_mode", "tile", "cap"))
+def _screen_tiles_batch(tstarts, anchors_padded, bins_anchor, a_gath, b_mat,
+                        t2_p, mask_mode, tile, cap):
+    """Phase 2, ONE dispatch for a batch of hot anchor tiles: lax.map of
+    `_screen_tile_body` over the (K,) tile starts.  Returns per-tile
+    (counts (K,), idx0 (K, cap), idx1 (K, cap), eff (K, cap))."""
+
+    def one(tstart):
+        return _screen_tile_body(tstart, anchors_padded, bins_anchor, a_gath,
+                                 b_mat, t2_p, mask_mode, tile, cap)
+
+    return jax.lax.map(one, tstarts)
+
+
+def _screen_tiles_mesh(mesh, tstarts, anchors_padded, bins_anchor, a_gath,
+                       b_mat, t2_p, mask_mode, tile, cap):
+    """Phase 2 over a device mesh: the hot-tile list is sharded over the
+    mesh axis (anchors/partners/thresholds replicated); each device runs the
+    SAME per-tile math as the single-device path, so the merged output is
+    byte-identical to a single-device run.  `tstarts` must be padded to a
+    multiple of the mesh size (the driver dedups repeated tiles)."""
+    from jax.sharding import PartitionSpec as P
+
+    from gmat_tpu.dist.mesh import AXIS
+
+    @jax.jit
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(AXIS), P(None), P(None), P(None, None), P(None, None),
+                  P(None, None)),
+        out_specs=(P(AXIS), P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+    )
+    def kernel(ts, ap, ba, ag, bm, tp):
+        def one(tstart):
+            return _screen_tile_body(tstart, ap, ba, ag, bm, tp, mask_mode,
+                                     tile, cap)
+
+        return jax.lax.map(one, ts)
+
+    return kernel(tstarts, anchors_padded, bins_anchor, a_gath, b_mat, t2_p)
 
 
 @jax.jit
@@ -213,29 +255,108 @@ def _screen_counts_all(anchors_padded, a_mat, b_mat, py, bins_a, bins_b,
     return jax.lax.map(pair_fn, worklist)
 
 
+def _screen_counts_mesh(mesh, anchors_padded, a_mat, b_mat, py, bins_a,
+                        bins_b, table, worklist, mask_mode, tile):
+    """Phase 1 over a device mesh: the (anchor-tile, partner-tile) worklist
+    is sharded over the mesh axis, genotype codings/pymat/thresholds
+    replicated — each device computes the SAME per-pair counts as
+    `_screen_counts_all`, so the host-side hot-tile logic (and hence the
+    final output) is byte-identical to single-device.  Worklist rows must be
+    padded to a multiple of the mesh size (duplicated rows; the caller
+    truncates the returned counts)."""
+    from jax.sharding import PartitionSpec as P
+
+    from gmat_tpu.dist.mesh import AXIS
+
+    dtype = a_mat.dtype
+    m = b_mat.shape[1]
+    m_pad = -(-m // tile) * tile
+    if m_pad != m:
+        b_mat = jnp.pad(b_mat, ((0, 0), (0, m_pad - m)))
+        bins_b = jnp.pad(bins_b, (0, m_pad - m))
+    a_gath = a_mat[:, anchors_padded] * py[:, None]
+    bins_anchor = bins_a[anchors_padded]
+    t2 = _bin_table_11(table).astype(dtype)
+    t2_p = t2 @ jax.nn.one_hot(bins_b, 11, dtype=dtype).T  # (11, m_pad)
+    jt = jnp.arange(tile, dtype=jnp.int32)
+
+    @jax.jit
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(AXIS, None), P(None), P(None, None), P(None),
+                  P(None, None), P(None, None)),
+        out_specs=P(AXIS),
+    )
+    def kernel(wl, ids_all, ag, ba_all, bm, tp):
+        def pair_fn(tp_pair):
+            t, pt = tp_pair[0], tp_pair[1]
+            a = jax.lax.dynamic_slice_in_dim(ag, t * tile, tile, axis=1)
+            ids = jax.lax.dynamic_slice_in_dim(ids_all, t * tile, tile)
+            ba = jax.lax.dynamic_slice_in_dim(ba_all, t * tile, tile)
+            pstart = pt * tile
+            b = jax.lax.dynamic_slice_in_dim(bm, pstart, tile, axis=1)
+            s = a.T @ b
+            cuts = jax.nn.one_hot(ba, 11, dtype=dtype) @ (
+                jax.lax.dynamic_slice_in_dim(tp, pstart, tile, axis=1)
+            )
+            j_ids = (pstart + jt)[None, :]
+            if mask_mode == "tri":
+                valid = j_ids > ids[:, None]
+            else:
+                valid = j_ids != ids[:, None]
+            return jnp.sum((jnp.abs(s) > cuts) & valid)
+
+        return jax.lax.map(pair_fn, wl)
+
+    return kernel(worklist, anchors_padded, a_gath, bins_anchor, b_mat, t2_p)
+
+
+def _pad_rows_to(arr: np.ndarray, mult: int) -> np.ndarray:
+    """Pad the leading axis to a multiple of `mult` by repeating the last
+    row (duplicated work items; results for them are discarded)."""
+    pad = (-len(arr)) % mult
+    if pad:
+        arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
+    return arr
+
+
 def _run_screen(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
-                mask_mode, tile, flip_output=False):
-    """Two-phase host driver: one counts dispatch, then per-non-empty-tile
-    extraction; returns (i, j, eff) arrays.  bins_a index the threshold
-    table's rows at the anchor SNP, bins_b its columns at the partner SNP."""
+                mask_mode, tile, flip_output=False, mesh=None):
+    """Two-phase host driver: one counts dispatch (phase 1), then batched
+    extraction of the non-empty anchor tiles, grouped into capacity buckets
+    sized from the phase-1 counts (phase 2) — so every tile fits its buffer
+    on the first try and the whole phase is a handful of dispatches, not one
+    per hot tile.  With `mesh`, both phases shard their work lists over the
+    device mesh; the per-tile math is unchanged, so mesh output is
+    byte-identical to single-device.  Returns (i, j, eff) arrays.  bins_a
+    index the threshold table's rows at the anchor SNP, bins_b its columns
+    at the partner SNP."""
     import time
 
     anchors = np.asarray(anchors, dtype=np.int32)
     n_tiles = -(-len(anchors) // tile)
     padded_all = np.pad(anchors, (0, n_tiles * tile - len(anchors)),
                         constant_values=anchors[-1])
-    np_dtype = np.dtype(a_mat.dtype)
     bins_a_d = jnp.asarray(bins_a, dtype=jnp.int32)
     bins_b_d = jnp.asarray(bins_b, dtype=jnp.int32)
     table = np.asarray(table) * (1.0 - _screen_slack())
     table_d = jnp.asarray(table, dtype=a_mat.dtype)
     work = _tile_worklist(padded_all, b_mat.shape[1], mask_mode, tile)
+    ndev = int(mesh.devices.size) if mesh is not None else 1
     clock_t0 = time.perf_counter()
-    pair_counts = np.asarray(
-        _screen_counts_all(jnp.asarray(padded_all), a_mat, b_mat, pymat,
-                           bins_a_d, bins_b_d, table_d, jnp.asarray(work),
-                           mask_mode, tile)
-    )
+    if mesh is not None:
+        pair_counts = np.asarray(
+            _screen_counts_mesh(mesh, jnp.asarray(padded_all), a_mat, b_mat,
+                                pymat, bins_a_d, bins_b_d, table_d,
+                                jnp.asarray(_pad_rows_to(work, ndev)),
+                                mask_mode, tile)
+        )[: len(work)]
+    else:
+        pair_counts = np.asarray(
+            _screen_counts_all(jnp.asarray(padded_all), a_mat, b_mat, pymat,
+                               bins_a_d, bins_b_d, table_d, jnp.asarray(work),
+                               mask_mode, tile)
+        )
     # per-phase wall time + throughput: the reference's scan-timing log
     # contract (remma_epiAA_eff.py:81-83 "Running time: Clock time ...")
     dt = time.perf_counter() - clock_t0
@@ -248,40 +369,47 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
     counts = np.zeros(n_tiles, dtype=np.int64)
     np.add.at(counts, work[:, 0], pair_counts)
     hot = np.nonzero(counts)[0]
-    out_i, out_j, out_e = [], [], []
+    tile_res = {}
     if len(hot):
-        # host-side precompute shared by every hot tile; one device gather
-        a_gath_all = _gather_scale(a_mat, jnp.asarray(padded_all), pymat)
-        bins_a_np = np.asarray(bins_a, dtype=np.int64)
-        bins_b_np = np.asarray(bins_b, dtype=np.int64)
+        # device-side precompute shared by every hot tile; one gather
+        padded_d = jnp.asarray(padded_all)
+        a_gath_all = _gather_scale(a_mat, padded_d, pymat)
+        bins_anchor_d = bins_a_d[padded_d]
         idx11 = np.arange(11)[:, None] * 10 + np.arange(11)[None, :]
-        t2_p = np.asarray(table)[idx11][:, bins_b_np].astype(np_dtype)  # (11, m)
-        t2_p_d = jnp.asarray(t2_p)
-        eye11 = np.eye(11, dtype=np_dtype)
+        t2_p_d = jnp.asarray(
+            np.asarray(table)[idx11][:, np.asarray(bins_b, dtype=np.int64)]
+            .astype(np.dtype(a_mat.dtype))
+        )
+        # bucket hot tiles by capacity: phase-1 counts upper-bound the
+        # extraction count (they additionally include padded-partner hits
+        # for negative keep-all cuts), so `cap` never overflows
+        caps = np.maximum(4096, 1 << np.int64(np.ceil(np.log2(counts[hot]))))
+        for cap in np.unique(caps):
+            bucket = hot[caps == cap]
+            tstarts = (bucket * tile).astype(np.int32)
+            if mesh is not None:
+                cnts, his, hjs, hes = _screen_tiles_mesh(
+                    mesh, jnp.asarray(_pad_rows_to(tstarts, ndev)),
+                    padded_d, bins_anchor_d, a_gath_all, b_mat, t2_p_d,
+                    mask_mode, tile, int(cap))
+            else:
+                cnts, his, hjs, hes = _screen_tiles_batch(
+                    jnp.asarray(tstarts), padded_d, bins_anchor_d,
+                    a_gath_all, b_mat, t2_p_d, mask_mode, tile, int(cap))
+            cnts = np.asarray(cnts)
+            his, hjs, hes = (np.asarray(a) for a in (his, hjs, hes))
+            for k, t in enumerate(bucket):
+                c = int(cnts[k])
+                assert c <= cap, "phase-1 count no longer bounds extraction"
+                tile_res[int(t)] = (his[k, :c], hjs[k, :c], hes[k, :c])
+    out_i, out_j, out_e = [], [], []
     for t in hot:
+        hi, hj, he = tile_res[int(t)]
+        if len(hi) == 0:
+            continue
         start = int(t) * tile
         batch = anchors[start:start + tile]
-        pad = tile - len(batch)
-        padded = padded_all[start:start + tile]
-        ba_onehot = jnp.asarray(eye11[bins_a_np[padded]])
-        count, hi, hj, he = _screen_tile(
-            a_gath_all, start, jnp.asarray(padded), ba_onehot, b_mat, t2_p_d,
-            mask_mode
-        )
-        count = int(count)
-        if count > _HIT_CAP:
-            # rare keep-almost-everything screens: re-extract this tile with
-            # a capacity that fits (one extra compile at the larger cap)
-            cap = 1 << int(count - 1).bit_length()
-            count, hi, hj, he = _screen_tile(
-                a_gath_all, start, jnp.asarray(padded), ba_onehot, b_mat,
-                t2_p_d, mask_mode, cap=cap,
-            )
-            count = int(count)
-        if count == 0:
-            continue
-        hi, hj, he = (np.asarray(h)[:count] for h in (hi, hj, he))
-        if pad:  # drop hits contributed by duplicated padding anchors
+        if len(batch) < tile:  # drop hits from duplicated padding anchors
             keep = np.isin(hi, batch)
             # padding duplicates batch[-1]; dedupe exact duplicate rows
             hi, hj, he = hi[keep], hj[keep], he[keep]
@@ -295,8 +423,9 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
         out_e.append(he)
     if len(hot):
         logger.info("Screen phase 2: extracted %d hits from %d hot tiles "
-                    "in %.3f s", sum(len(h) for h in out_i), len(hot),
-                    time.perf_counter() - clock_t0 - dt)
+                    "(%d dispatches) in %.3f s",
+                    sum(len(h) for h in out_i), len(hot),
+                    len(np.unique(caps)), time.perf_counter() - clock_t0 - dt)
     if not out_i:
         return (np.empty(0, np.int64),) * 2 + (np.empty(0),)
     return (np.concatenate(out_i).astype(np.int64),
@@ -323,7 +452,8 @@ def _het_bins(geno):
 
 def _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                    snp_lst_0, eff_cut_table, bins_a, bins_b, out_file,
-                   tile=None, screen_dtype=np.float32, maf=False, dm=None):
+                   tile=None, screen_dtype=np.float32, maf=False, dm=None,
+                   mesh=None):
     """Shared driver for the *_eff / *_maf_eff family.
 
     eff_cut_table: (111,) per-bin-pair |eff| thresholds (flat constant for the
@@ -364,17 +494,17 @@ def _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     tile = tile or _auto_tile(len(anchors), num_snp)
     if kind == "AA":
         res = [_run_screen(a_full, a_full, py, anchors, bins_a, bins_b,
-                           table, "tri", tile)]
+                           table, "tri", tile, mesh=mesh)]
     elif kind == "DD":
         res = [_run_screen(d_full, d_full, py, anchors, bins_a, bins_b,
-                           table, "tri", tile)]
+                           table, "tri", tile, mesh=mesh)]
     else:  # AD: both orientations, j > i (C kernel :233-247); the threshold
         # is indexed freqA[anchor]*10 + freqD[partner] in both directions
         res = [
             _run_screen(a_full, d_full, py, anchors, bins_a, bins_b, table,
-                        "tri", tile),
+                        "tri", tile, mesh=mesh),
             _run_screen(d_full, a_full, py, anchors, bins_a, bins_b, table,
-                        "tri", tile, flip_output=True),
+                        "tri", tile, flip_output=True, mesh=mesh),
         ]
     idx0 = np.concatenate([r[0] for r in res])
     idx1 = np.concatenate([r[1] for r in res])
@@ -407,7 +537,7 @@ def _append_approx_p(screen_file, out_file, bins_a, bins_b, freq_deno):
 
 def _remma_epi_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                    snp_lst_0=None, var_app=1.0, p_cut=1.0e-5,
-                   out_file="epi_eff", dm=None):
+                   out_file="epi_eff", dm=None, mesh=None):
     chi_cut = chi2_isf(p_cut, 1)
     table = np.full(111, np.sqrt(chi_cut * var_app))
     geno, _, _ = prepare_genotypes(bed_prefix)
@@ -415,7 +545,7 @@ def _remma_epi_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     deno = np.full(111, var_app)
     tmp = out_file + ".temp"
     _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
-                   snp_lst_0, table, bins, bins, tmp, dm=dm)
+                   snp_lst_0, table, bins, bins, tmp, dm=dm, mesh=mesh)
     _append_approx_p(tmp, out_file, bins, bins, deno)
     os.remove(tmp)
     return 0
@@ -424,7 +554,7 @@ def _remma_epi_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
 def _remma_epi_maf_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                        snp_lst_0=None, bins_a=None, bins_b=None,
                        freq_deno=None, p_cut=1.0e-5, out_file="epi_maf_eff",
-                       dm=None):
+                       dm=None, mesh=None):
     chi_cut = chi2_isf(p_cut, 1)
     geno, _, _ = prepare_genotypes(bed_prefix)
     if bins_a is None:
@@ -436,7 +566,8 @@ def _remma_epi_maf_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     table = np.sqrt(chi_cut * np.asarray(freq_deno))
     tmp = out_file + ".temp"
     _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
-                   snp_lst_0, table, bins_a, bins_b, tmp, maf=True, dm=dm)
+                   snp_lst_0, table, bins_a, bins_b, tmp, maf=True, dm=dm,
+                   mesh=mesh)
     _append_approx_p(tmp, out_file, bins_a, bins_b, np.asarray(freq_deno))
     os.remove(tmp)
     return 0
@@ -445,54 +576,57 @@ def _remma_epi_maf_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
 # public *_eff wrappers -------------------------------------------------------
 
 def remma_epiAA_eff(pheno_file, bed_prefix, gmat_lst, var_com, snp_lst_0=None,
-                    var_app=1.0, p_cut=1.0e-5, out_file="epiAA_eff"):
+                    var_app=1.0, p_cut=1.0e-5, out_file="epiAA_eff",
+                    mesh=None):
     return _remma_epi_eff("AA", pheno_file, bed_prefix, gmat_lst, var_com,
-                          snp_lst_0, var_app, p_cut, out_file)
+                          snp_lst_0, var_app, p_cut, out_file, mesh=mesh)
 
 
 def remma_epiAD_eff(pheno_file, bed_prefix, gmat_lst, var_com, snp_lst_0=None,
-                    var_app=1.0, p_cut=1.0e-5, out_file="epiAD_eff"):
+                    var_app=1.0, p_cut=1.0e-5, out_file="epiAD_eff",
+                    mesh=None):
     return _remma_epi_eff("AD", pheno_file, bed_prefix, gmat_lst, var_com,
-                          snp_lst_0, var_app, p_cut, out_file)
+                          snp_lst_0, var_app, p_cut, out_file, mesh=mesh)
 
 
 def remma_epiDD_eff(pheno_file, bed_prefix, gmat_lst, var_com, snp_lst_0=None,
-                    var_app=1.0, p_cut=1.0e-5, out_file="epiDD_eff"):
+                    var_app=1.0, p_cut=1.0e-5, out_file="epiDD_eff",
+                    mesh=None):
     return _remma_epi_eff("DD", pheno_file, bed_prefix, gmat_lst, var_com,
-                          snp_lst_0, var_app, p_cut, out_file)
+                          snp_lst_0, var_app, p_cut, out_file, mesh=mesh)
 
 
 def remma_epiAA_maf_eff(pheno_file, bed_prefix, gmat_lst, var_com,
                         snp_lst_0=None, freq=None, freq_deno=None,
-                        p_cut=1.0e-5, out_file="epiAA_maf_eff"):
+                        p_cut=1.0e-5, out_file="epiAA_maf_eff", mesh=None):
     """MAF-binned AA screen; `freq` = int(maf*20) bins for both SNPs
     (reference remma_epiAA_maf_eff.py:20)."""
     return _remma_epi_maf_eff("AA", pheno_file, bed_prefix, gmat_lst, var_com,
                               snp_lst_0, freq, freq, freq_deno, p_cut,
-                              out_file)
+                              out_file, mesh=mesh)
 
 
 def remma_epiAD_maf_eff(pheno_file, bed_prefix, gmat_lst, var_com,
                         snp_lst_0=None, freqA=None, freqD=None,
                         freq_deno=None, p_cut=1.0e-5,
-                        out_file="epiAD_maf_eff"):
+                        out_file="epiAD_maf_eff", mesh=None):
     """Binned AD screen; `freqA` = int(maf*20) bins for the A-coded side,
     `freqD` = int(het_freq*20) bins for the D-coded side (reference
     remma_epiAD_maf_eff.py:110, C kernel :330,337)."""
     return _remma_epi_maf_eff("AD", pheno_file, bed_prefix, gmat_lst, var_com,
                               snp_lst_0, freqA, freqD, freq_deno, p_cut,
-                              out_file)
+                              out_file, mesh=mesh)
 
 
 def remma_epiDD_maf_eff(pheno_file, bed_prefix, gmat_lst, var_com,
                         snp_lst_0=None, freq=None, freq_deno=None,
-                        p_cut=1.0e-5, out_file="epiDD_maf_eff"):
+                        p_cut=1.0e-5, out_file="epiDD_maf_eff", mesh=None):
     """Binned DD screen; `freq` = int(het_freq*20) heterozygote-frequency
     bins for both SNPs (reference remma_epiDD_maf_eff.py:20,
     remma_epiDD_maf_approx.py:39-44)."""
     return _remma_epi_maf_eff("DD", pheno_file, bed_prefix, gmat_lst, var_com,
                               snp_lst_0, freq, freq, freq_deno, p_cut,
-                              out_file)
+                              out_file, mesh=mesh)
 
 
 # approximate pipelines -------------------------------------------------------
@@ -530,7 +664,8 @@ def _merge_approx_exact(approx_file, exact_file, out_file):
 
 def _remma_epi_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                       p_cut=1.0e-5, num_random_pair=100000,
-                      out_file="epi_approx", snp_lst_0=None, seed=0):
+                      out_file="epi_approx", snp_lst_0=None, seed=0,
+                      mesh=None):
     from gmat_tpu.io.bed import read_bim
 
     num_snp = len(read_bim(bed_prefix + ".bim"))
@@ -547,7 +682,7 @@ def _remma_epi_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     logger.info("Approximate effect variance (median): %g", var_median)
     _remma_epi_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                    snp_lst_0=snp_lst_0, var_app=var_median, p_cut=p_cut,
-                   out_file=out_file + ".approx_p")
+                   out_file=out_file + ".approx_p", mesh=mesh)
     logger.info("Exact re-test of survivors")
     pair_fn(pheno_file, bed_prefix, gmat_lst, var_com,
             snp_pair_file=out_file + ".approx_p", p_cut=1.1,
@@ -560,7 +695,8 @@ def _remma_epi_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
 
 def _remma_epi_maf_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                           p_cut=1.0e-5, num_random_pair=100000,
-                          out_file="epi_maf_approx", snp_lst_0=None, seed=0):
+                          out_file="epi_maf_approx", snp_lst_0=None, seed=0,
+                          mesh=None):
     from gmat_tpu.io.bed import read_bim
 
     num_snp = len(read_bim(bed_prefix + ".bim"))
@@ -623,7 +759,7 @@ def _remma_epi_maf_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                 "DD": remma_epiDD_maf_eff}
     _MAF_EFF[kind](pheno_file, bed_prefix, gmat_lst, var_com,
                    snp_lst_0=snp_lst_0, freq_deno=freq_deno, p_cut=p_cut,
-                   out_file=out_file + ".approx_p", **maf_kwargs)
+                   out_file=out_file + ".approx_p", mesh=mesh, **maf_kwargs)
     pair_fn(pheno_file, bed_prefix, gmat_lst, var_com,
             snp_pair_file=out_file + ".approx_p", p_cut=1.1,
             out_file=out_file + ".exact_p")
@@ -635,48 +771,51 @@ def _remma_epi_maf_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
 
 def remma_epiAA_approx(pheno_file, bed_prefix, gmat_lst, var_com,
                        p_cut=1.0e-5, num_random_pair=100000,
-                       out_file="epiAA_approx", seed=0):
+                       out_file="epiAA_approx", seed=0, mesh=None):
     """Flagship fast pipeline: calibrate -> screen -> exact re-test -> merge."""
     return _remma_epi_approx("AA", pheno_file, bed_prefix, gmat_lst, var_com,
-                             p_cut, num_random_pair, out_file, seed=seed)
+                             p_cut, num_random_pair, out_file, seed=seed,
+                             mesh=mesh)
 
 
 def remma_epiAD_approx(pheno_file, bed_prefix, gmat_lst, var_com,
                        p_cut=1.0e-5, num_random_pair=100000,
-                       out_file="epiAD_approx", seed=0):
+                       out_file="epiAD_approx", seed=0, mesh=None):
     return _remma_epi_approx("AD", pheno_file, bed_prefix, gmat_lst, var_com,
-                             p_cut, num_random_pair, out_file, seed=seed)
+                             p_cut, num_random_pair, out_file, seed=seed,
+                             mesh=mesh)
 
 
 def remma_epiDD_approx(pheno_file, bed_prefix, gmat_lst, var_com,
                        p_cut=1.0e-5, num_random_pair=100000,
-                       out_file="epiDD_approx", seed=0):
+                       out_file="epiDD_approx", seed=0, mesh=None):
     return _remma_epi_approx("DD", pheno_file, bed_prefix, gmat_lst, var_com,
-                             p_cut, num_random_pair, out_file, seed=seed)
+                             p_cut, num_random_pair, out_file, seed=seed,
+                             mesh=mesh)
 
 
 def remma_epiAA_maf_approx(pheno_file, bed_prefix, gmat_lst, var_com,
                            p_cut=1.0e-5, num_random_pair=100000,
-                           out_file="epiAA_maf_approx", seed=0):
+                           out_file="epiAA_maf_approx", seed=0, mesh=None):
     return _remma_epi_maf_approx("AA", pheno_file, bed_prefix, gmat_lst,
                                  var_com, p_cut, num_random_pair, out_file,
-                                 seed=seed)
+                                 seed=seed, mesh=mesh)
 
 
 def remma_epiAD_maf_approx(pheno_file, bed_prefix, gmat_lst, var_com,
                            p_cut=1.0e-5, num_random_pair=100000,
-                           out_file="epiAD_maf_approx", seed=0):
+                           out_file="epiAD_maf_approx", seed=0, mesh=None):
     return _remma_epi_maf_approx("AD", pheno_file, bed_prefix, gmat_lst,
                                  var_com, p_cut, num_random_pair, out_file,
-                                 seed=seed)
+                                 seed=seed, mesh=mesh)
 
 
 def remma_epiDD_maf_approx(pheno_file, bed_prefix, gmat_lst, var_com,
                            p_cut=1.0e-5, num_random_pair=100000,
-                           out_file="epiDD_maf_approx", seed=0):
+                           out_file="epiDD_maf_approx", seed=0, mesh=None):
     return _remma_epi_maf_approx("DD", pheno_file, bed_prefix, gmat_lst,
                                  var_com, p_cut, num_random_pair, out_file,
-                                 seed=seed)
+                                 seed=seed, mesh=mesh)
 
 
 def _parallel_anchor_split(kind, bed_prefix, parallel, maf=False):

@@ -89,6 +89,114 @@ def test_sharded_dominance_grm(rng, mesh):
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
 
 
+@pytest.fixture(scope="module")
+def file_setup(mouse_geno):
+    from gmat_tpu.grm.grm import additive_grm
+
+    ag = np.asarray(additive_grm(jnp.asarray(mouse_geno)))
+    var = np.array([0.06289206, 0.07641075, 0.08121168])
+    return [ag, ag * ag], var
+
+
+def test_file_exact_scan_mesh_byte_identical(tmp_path, mesh, file_setup,
+                                             mouse_pheno, mouse_prefix):
+    """The file-level exact scan on the 8-device mesh must produce the SAME
+    BYTES as the single-device run (VERDICT round-1 item 1)."""
+    from gmat_tpu.scan.pairs import remma_epiAA
+
+    gmat_lst, var = file_setup
+    anchors = list(range(150))
+    remma_epiAA(mouse_pheno, mouse_prefix, gmat_lst, var, snp_lst_0=anchors,
+                p_cut=1e-3, out_file=str(tmp_path / "single"))
+    remma_epiAA(mouse_pheno, mouse_prefix, gmat_lst, var, snp_lst_0=anchors,
+                p_cut=1e-3, out_file=str(tmp_path / "meshed"), mesh=mesh)
+    single = (tmp_path / "single").read_bytes()
+    meshed = (tmp_path / "meshed").read_bytes()
+    assert single == meshed
+    assert len(single.splitlines()) > 10  # non-trivial output
+
+
+def _var_app_for_hits(eff_table, p_cut, quantile):
+    """var_app such that eff_cut = sqrt(chi2.isf(p_cut)*var_app) lands at the
+    given |eff| quantile — keeps test hit counts modest."""
+    from scipy.stats import chi2
+
+    cut = np.quantile(np.abs(eff_table), quantile)
+    return float(cut * cut / chi2.isf(p_cut, 1))
+
+
+def test_file_screen_mesh_byte_identical(tmp_path, mesh, file_setup,
+                                         mouse_pheno, mouse_prefix):
+    from conftest import GOLDEN
+    from gmat_tpu.scan.screen import remma_epiAA_eff
+
+    gmat_lst, var = file_setup
+    aa_eff = np.load(GOLDEN / "epi_full.npz")["aa_eff"]
+    kw = dict(var_app=_var_app_for_hits(aa_eff, 1e-4, 1 - 5e-4), p_cut=1e-4)
+    remma_epiAA_eff(mouse_pheno, mouse_prefix, gmat_lst, var,
+                    out_file=str(tmp_path / "single"), **kw)
+    remma_epiAA_eff(mouse_pheno, mouse_prefix, gmat_lst, var,
+                    out_file=str(tmp_path / "meshed"), mesh=mesh, **kw)
+    single = (tmp_path / "single").read_bytes()
+    assert single == (tmp_path / "meshed").read_bytes()
+    assert len(single.splitlines()) > 10
+
+
+def test_file_approx_pipeline_mesh_byte_identical(tmp_path, mesh, file_setup,
+                                                  mouse_pheno, mouse_prefix):
+    """The flagship remma_epiAA_approx pipeline end-to-end on the mesh."""
+    from gmat_tpu.scan.screen import remma_epiAA_approx
+
+    gmat_lst, var = file_setup
+    kw = dict(p_cut=1e-4, num_random_pair=5000, seed=3)
+    remma_epiAA_approx(mouse_pheno, mouse_prefix, gmat_lst, var,
+                       out_file=str(tmp_path / "single"), **kw)
+    remma_epiAA_approx(mouse_pheno, mouse_prefix, gmat_lst, var,
+                       out_file=str(tmp_path / "meshed"), mesh=mesh, **kw)
+    single = (tmp_path / "single").read_bytes()
+    assert single == (tmp_path / "meshed").read_bytes()
+    assert len(single.splitlines()) > 5
+
+
+def test_file_AD_maf_screen_mesh_byte_identical(tmp_path, mesh, file_setup,
+                                                mouse_pheno, mouse_prefix):
+    """AD + MAF-binned thresholds over the mesh (both orientations)."""
+    from gmat_tpu.io.bed import read_plink
+    from gmat_tpu.scan.screen import _het_bins, _maf_bins, remma_epiAD_maf_eff
+
+    from conftest import GOLDEN
+
+    gmat_lst, var = file_setup
+    geno = read_plink(mouse_prefix)
+    _, ba = _maf_bins(geno)
+    _, bd = _het_bins(geno)
+    ad_eff = np.load(GOLDEN / "epi_full.npz")["ad_eff"]
+    deno = np.full(111, _var_app_for_hits(ad_eff, 1e-4, 1 - 2.5e-4))
+    kw = dict(freqA=ba, freqD=bd, freq_deno=deno, p_cut=1e-4)
+    remma_epiAD_maf_eff(mouse_pheno, mouse_prefix, gmat_lst, var,
+                        out_file=str(tmp_path / "single"), **kw)
+    remma_epiAD_maf_eff(mouse_pheno, mouse_prefix, gmat_lst, var,
+                        out_file=str(tmp_path / "meshed"), mesh=mesh, **kw)
+    single = (tmp_path / "single").read_bytes()
+    assert single == (tmp_path / "meshed").read_bytes()
+    assert len(single.splitlines()) > 10
+
+
+def test_file_grm_mesh(tmp_path, mesh, mouse_prefix, mouse_geno):
+    """agmat(mesh=...) writes the same GRM as single-device (rtol 1e-10:
+    the psum changes the summation order of the scale reduction)."""
+    import shutil
+
+    from gmat_tpu.grm.grm import agmat
+
+    for f in ("bed", "bim", "fam"):
+        shutil.copy(f"{mouse_prefix}.{f}", tmp_path / f"plink.{f}")
+    prefix = str(tmp_path / "plink")
+    kin_single, _ = agmat(prefix, out_fmt="mat")
+    kin_mesh, _ = agmat(prefix, out_fmt="mat", mesh=mesh)
+    np.testing.assert_allclose(kin_mesh, kin_single, rtol=1e-10, atol=1e-12)
+
+
 def test_sharded_screen_hits(rng, mesh):
     from gmat_tpu.dist.mesh import sharded_screen_hits
 

@@ -106,9 +106,263 @@ def pallas_screen_counts(mat, py, cut, interpret: bool = False):
     return out[::8, ::128]  # count lives at [0, 0] of each (8, 128) block
 
 
+def _row_compact(hit_row, col_ids_row, payload_rows, K):
+    """Compact ONE tile row's hits to the slot front WITHOUT scatter.
+
+    Mosaic has no general scatter, so the compaction is a 2-D iota match:
+    dest[j] = exclusive-rank of hit j (int32 cumsum); slot k then selects
+    the unique j with dest==k via a (K, TJ) comparison and masked sums.
+    All int math is pinned int32 (the package-global x64 mode would promote
+    plain sums/indices to i64, which Mosaic rejects).
+
+    hit_row: (1, TJ) bool; col_ids_row: (1, TJ) int32; payload_rows: list of
+    (1, TJ) f32 rows compacted with the same permutation.  Returns
+    (count i32 scalar, cols (K,) int32 with -1 past count, payloads (K,)).
+    Hits ranked >= K are dropped — the caller detects count > K and
+    retries with a larger K (the cap-retry contract of the XLA engine,
+    screen.py::_run_screen)."""
+    tj = hit_row.shape[1]
+    hit_i = hit_row.astype(jnp.int32)
+    dest = jnp.cumsum(hit_i, axis=1) - 1  # int32 in, int32 out
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, tj), 0)
+    match = (k_iota == dest) & hit_row  # (K, TJ); <=1 true per k-row
+    count = jnp.sum(hit_row.astype(jnp.float32)).astype(jnp.int32)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
+    cols = jnp.sum(jnp.where(match, col_ids_row, 0), axis=1,
+                   dtype=jnp.int32)
+    cols = jnp.where(slot < count, cols, jnp.int32(-1))
+    outs = [jnp.sum(jnp.where(match, p, 0.0), axis=1) for p in payload_rows]
+    return count, cols, outs
+
+
+def _exact_kernel_factory(TJ, K, mask_mode, n_at8, m_true):
+    """Kernel body for the fused exact-scan tile (one 8-anchor band x one
+    TJ-partner tile per grid step).  Statics baked in by the caller."""
+    from jax.experimental import pallas as pl
+
+    def kernel(crit_ref, a_ref, b_ref, py_ref, pvp_ref, cnt_ref, col_ref,
+               eff_ref, var_ref, chi_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        crit = crit_ref[0]
+        col_ids = (j * jnp.int32(TJ) + jax.lax.broadcasted_iota(
+            jnp.int32, (1, TJ), 1))
+        py = py_ref[:, :]  # (n, 1)
+        pvp = pvp_ref[:, :]
+        cnt_block = jnp.zeros((8, 128), dtype=jnp.int32)
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0
+        row_sel = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        for a in range(8):  # unrolled: static row stores
+            anchor = i * jnp.int32(8) + jnp.int32(a)
+            e = a_ref[:, a:a + 1] * b_ref[:, :]  # (n, TJ)
+            eff = jnp.sum(e * py, axis=0, keepdims=True)  # (1, TJ)
+            pvpe = jnp.dot(pvp, e, preferred_element_type=jnp.float32)
+            var = jnp.sum(e * pvpe, axis=0, keepdims=True)
+            chi = eff * eff / var  # 0/0 -> NaN -> never a hit
+            if mask_mode == "tri":
+                valid = col_ids > anchor
+            else:  # AD full rectangle minus the diagonal
+                valid = col_ids != anchor
+            valid &= (col_ids < jnp.int32(m_true)) & (
+                anchor < jnp.int32(m_true))
+            hit = (chi > crit) & valid
+            cnt, cols, (effs, vars_, chis) = _row_compact(
+                hit, col_ids, [eff, var, chi], K)
+            cnt_block = jnp.where(lane0 & (row_sel == a), cnt, cnt_block)
+            col_ref[a, :] = cols
+            eff_ref[a, :] = effs
+            var_ref[a, :] = vars_
+            chi_ref[a, :] = chis
+        cnt_ref[:, :] = cnt_block
+
+    return kernel
+
+
+def pallas_exact_scan(mat0, mat1, py, pvp, chi_crit, mask_mode="tri",
+                      K=128, TJ=256, interpret: bool = False):
+    """Fused exact-scan: eff + pair-variance GEMM + chi threshold + in-VMEM
+    compaction, one Pallas program (SURVEY §3.3 north-star kernel; reference
+    C analogue _remma_epi_eff_cpu.c:91-137 computes eff only — the variance
+    column is what the exact test adds, remma_epiAA.py:71-82).
+
+    Per grid step: an 8-anchor band against a TJ-partner tile; per anchor
+    e = m0[:, a] * m1[:, J], eff = e'py, var = colsum(e * (pvp @ e)) with
+    the (n, n) @ (n, TJ) GEMM on the MXU; chi = eff^2/var is thresholded
+    and each row's hits are compacted in VMEM (`_row_compact`), so HBM gets
+    fixed (8, K) blocks instead of four dense (m, m) panels.
+
+    Returns (counts (m8, n_pt), cols/effs/vars/chis (m8, n_pt, K)) numpy
+    arrays; rows past m and slots past counts are -1/garbage.  Caller
+    retries with larger K if any count > K (`pallas_exact_hits`)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    mat0 = jnp.asarray(mat0, jnp.float32)
+    mat1 = jnp.asarray(mat1, jnp.float32)
+    n, m = mat0.shape
+    m8 = -(-m // 8) * 8
+    m_pad = -(-mat1.shape[1] // TJ) * TJ
+    if m8 != m:
+        mat0 = jnp.pad(mat0, ((0, 0), (0, m8 - m)))
+    if m_pad != mat1.shape[1]:
+        mat1 = jnp.pad(mat1, ((0, 0), (0, m_pad - mat1.shape[1])))
+    n_at, n_pt = m8 // 8, m_pad // TJ
+    kernel = _exact_kernel_factory(TJ, K, mask_mode, n_at, m)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_at, n_pt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # chi_crit (1,)
+            pl.BlockSpec((n, 8), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, TJ), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, K), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, K), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, K), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, K), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m8, n_pt * 128), jnp.int32),
+            jax.ShapeDtypeStruct((m8, n_pt * K), jnp.int32),
+            jax.ShapeDtypeStruct((m8, n_pt * K), jnp.float32),
+            jax.ShapeDtypeStruct((m8, n_pt * K), jnp.float32),
+            jax.ShapeDtypeStruct((m8, n_pt * K), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray([chi_crit], jnp.float32), mat0, mat1,
+      py.astype(jnp.float32)[:, None], pvp.astype(jnp.float32))
+    cnt = np.asarray(outs[0]).reshape(m8, n_pt, 128)[:, :, 0]
+    packed = [np.asarray(o).reshape(m8, n_pt, K) for o in outs[1:]]
+    return (cnt, *packed)
+
+
+def pallas_exact_hits(mat0, mat1, py, pvp, chi_crit, mask_mode="tri",
+                      K=128, TJ=256, interpret: bool = False):
+    """Host assembly over `pallas_exact_scan` with cap-retry: returns
+    (i, j, eff, var, chi) numpy arrays of every chi > chi_crit pair."""
+    while True:
+        cnt, cols, effs, vars_, chis = pallas_exact_scan(
+            mat0, mat1, py, pvp, chi_crit, mask_mode, K, TJ, interpret)
+        mx = int(cnt.max()) if cnt.size else 0
+        if mx <= K:
+            break
+        K = 1 << (mx - 1).bit_length()  # one retry always suffices: the
+        # true per-(row, tile) hit count bounds every later extraction
+    keep = cols >= 0
+    ridx, _, _ = np.nonzero(keep)
+    return (ridx.astype(np.int64), cols[keep].astype(np.int64), effs[keep],
+            vars_[keep], chis[keep])
+
+
+def _screen_extract_factory(K, m_true):
+    """Kernel body for the in-VMEM screen hit extraction: one 8-row band of
+    one hot (TILE x TILE) tile per grid step, hits compacted per row."""
+    from jax.experimental import pallas as pl
+
+    def kernel(tiles_ref, cut_ref, a_ref, b_ref, py_ref, cnt_ref, col_ref,
+               eff_ref):
+        g = pl.program_id(0)
+        band = pl.program_id(1)
+        ti = tiles_ref[g, 0]
+        tj = tiles_ref[g, 1]
+        cut = cut_ref[0]
+        s8 = jnp.dot(
+            (a_ref[:, :] * py_ref[:, :]).T, b_ref[:, :],
+            preferred_element_type=jnp.float32,
+        )  # (8, TILE)
+        col_ids = tj * jnp.int32(TILE) + jax.lax.broadcasted_iota(
+            jnp.int32, (1, TILE), 1)
+        cnt_block = jnp.zeros((8, 128), dtype=jnp.int32)
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0
+        row_sel = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        for a in range(8):  # unrolled: static row stores
+            row_id = ti * jnp.int32(TILE) + band * jnp.int32(8) + jnp.int32(a)
+            s_row = s8[a:a + 1, :]
+            hit = (jnp.abs(s_row) > cut) & (col_ids > row_id) & (
+                col_ids < jnp.int32(m_true)) & (row_id < jnp.int32(m_true))
+            cnt, cols, (effs,) = _row_compact(hit, col_ids, [s_row], K)
+            cnt_block = jnp.where(lane0 & (row_sel == a), cnt, cnt_block)
+            col_ref[a, :] = cols
+            eff_ref[a, :] = effs
+        cnt_ref[:, :] = cnt_block
+
+    return kernel
+
+
+def pallas_extract_hot_tiles(mat_p, py, cut, tiles, m, K=128,
+                             interpret: bool = False):
+    """Phase 2 IN-KERNEL: recompute every hot (TILE, TILE) tile and compact
+    its hits in VMEM — ONE Pallas program for the whole hot list, the tile
+    coordinates scalar-prefetched so the block index maps DMA exactly the
+    needed genotype columns.  HBM receives (8, K) compacted blocks instead
+    of dense effect panels.
+
+    mat_p: (n, m_pad) TILE-padded codings; tiles: (n_hot, 2) int32 tile
+    coords; m: true SNP count (masks padding).  Returns per-row
+    (counts (n_hot*TILE,), cols (n_hot*TILE, K), effs (n_hot*TILE, K));
+    the row order is tiles-major then in-tile row.  Rows with count > K
+    were truncated — the caller retries with a larger K."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = mat_p.shape[0]
+    n_hot = tiles.shape[0]
+    bands = TILE // 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # tiles, cut
+        grid=(n_hot, bands),
+        in_specs=[
+            pl.BlockSpec((n, 8), lambda g, b, tiles, cut:
+                         (0, tiles[g, 0] * bands + b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, TILE), lambda g, b, tiles, cut:
+                         (0, tiles[g, 1]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda g, b, tiles, cut: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda g, b, tiles, cut:
+                         (g * bands + b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, K), lambda g, b, tiles, cut:
+                         (g * bands + b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, K), lambda g, b, tiles, cut:
+                         (g * bands + b, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    outs = pl.pallas_call(
+        _screen_extract_factory(K, m),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_hot * TILE, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_hot * TILE, K), jnp.int32),
+            jax.ShapeDtypeStruct((n_hot * TILE, K), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(tiles, jnp.int32),
+      jnp.asarray([cut], jnp.float32),
+      mat_p, mat_p, py.astype(jnp.float32)[:, None])
+    return (np.asarray(outs[0])[:, 0], np.asarray(outs[1]),
+            np.asarray(outs[2]))
+
+
 @partial(jax.jit, static_argnames=("cap", "m"))
 def extract_tile_hits(mat, py, cut, ti, tj, m, cap=16384):
-    """Phase 2: recompute one (TI, TJ) tile and compact its hits.
+    """Phase 2 (XLA variant): recompute one (TI, TJ) tile and compact its
+    hits with jnp.nonzero; kept as the fallback/reference for the Pallas
+    in-kernel extraction above.
 
     `mat` must already be zero-padded to a TILE multiple (dynamic_slice
     clamps out-of-range starts, which would silently shift edge tiles);
@@ -141,25 +395,24 @@ def pallas_screen(mat, py, cut, interpret: bool = False):
     counts = np.asarray(pallas_screen_counts(mat, py, cut, interpret=interpret))
     m_pad = ((m + TILE - 1) // TILE) * TILE
     mat_p = jnp.pad(mat, ((0, 0), (0, m_pad - m))) if m_pad != m else mat
-    out_i, out_j, out_e = [], [], []
-    for ti, tj in zip(*np.nonzero(counts)):
-        cnt, hi, hj, he = extract_tile_hits(mat_p, py, jnp.float32(cut),
-                                            int(ti), int(tj), m)
-        cnt = int(cnt)
-        if cnt > 16384:
-            # keep-almost-everything cuts: re-extract with a capacity that
-            # fits (one extra compile at the larger cap — same retry contract
-            # as the XLA engine, scan/screen.py::_run_screen)
-            cap = 1 << int(cnt - 1).bit_length()
-            cnt, hi, hj, he = extract_tile_hits(
-                mat_p, py, jnp.float32(cut), int(ti), int(tj), m, cap=cap
-            )
-            cnt = int(cnt)
-        out_i.append(np.asarray(hi)[:cnt])
-        out_j.append(np.asarray(hj)[:cnt])
-        out_e.append(np.asarray(he)[:cnt])
-    if not out_i:
+    hot = np.stack(np.nonzero(counts), axis=1).astype(np.int32)
+    if not len(hot):
         return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.float32),)
-    return (np.concatenate(out_i).astype(np.int64),
-            np.concatenate(out_j).astype(np.int64),
-            np.concatenate(out_e))
+    # phase 2 in-kernel, ONE program for all hot tiles; per-row cap with
+    # retry (a tile-total count can't overflow a row cap sized from the
+    # densest row, so one doubling loop converges)
+    K = 128
+    while True:
+        row_cnt, cols, effs = pallas_extract_hot_tiles(
+            mat_p, py, cut, hot, m, K=K, interpret=interpret)
+        mx = int(row_cnt.max())
+        if mx <= K:
+            break
+        K = 1 << (mx - 1).bit_length()
+    keep = cols >= 0
+    rrow, _ = np.nonzero(keep)
+    band_row = rrow % TILE
+    tile_of = hot[rrow // TILE, 0]
+    return ((tile_of.astype(np.int64) * TILE + band_row),
+            cols[keep].astype(np.int64),
+            effs[keep])

@@ -1,24 +1,39 @@
 #!/usr/bin/env python
-"""Headline benchmark: epiAA effect-screen throughput (SNP-pairs/s).
+"""Headline benchmark: the PRODUCTION epiAA effect-screen (SNP-pairs/s).
 
-Runs the f32 MXU screen GEMM — the TPU-native equivalent of the reference's
-C/OpenMP `remma_epiAA_eff_cpu` kernel (_remma_epi_eff_cpu.c:91-137) — on a
-mouse-sized cohort (n=1304 individuals) with a synthetic 262144-SNP panel
-(34.4G pairs), anchor-tiled exactly like the production screen
-(gmat_tpu/scan/screen.py).  `vs_baseline` compares against the reference C
-kernel measured on this host (tools/bench_reference.py -> bench_baseline.json).
+Measures `gmat_tpu.scan.screen._run_screen` — the exact code path every
+`remma_epi*_eff` / `remma_epi*_approx` call runs (phase-1 tiled GEMM counts
++ phase-2 batched hit extraction) — at a threshold that yields real hits, on
+a mouse-sized cohort (n=1304) with a synthetic 262144-SNP panel (34.4G
+pairs).  This is the TPU-native equivalent of the reference's C/OpenMP
+`remma_epiAA_eff_cpu` kernel (_remma_epi_eff_cpu.c:91-137); `vs_baseline`
+compares against that C kernel measured on this host
+(tools/bench_reference.py -> bench_baseline.json).
 
-Sizing (measured on the tunneled chip, 2026-08): each dispatch costs ~21 ms
-RTT, and the screen GEMM sustains ~134 TF/s effective at tile 4096, so the
-panel is sized to make one dispatch ~0.7 s of pure MXU work (50G+ pairs/s;
-16384 SNPs measured only 4.6G pairs/s because RTT dominated).
+Secondary metrics (in the JSON line's "extra" field):
+  - screen_gemm_ceiling_pairs_per_s: the pure phase-1 GEMM rate with a
+    no-hit cut (the round-1 headline; upper bound on the screen)
+  - yeast_screen_pairs_per_s: production screen at the reference's yeast
+    shape (n=4168, m=28220; README.md:1626's 398M-pair workload)
+  - exact_scan_pairs_per_s / exact_scan_tflops: the exhaustive exact scan
+    (eff + variance GEMM + on-device compaction, scan/pairs.py) at mouse
+    shape, all 989,121 pairs, f32
+
+Tunneled-TPU rules honored (CLAUDE.md): every section is one-or-few
+compiled programs; timing is by fetching results (block_until_ready lies
+here); each new program costs a 30-80 s remote compile, so sections are
+independent and a compile failure degrades that metric to null instead of
+killing the headline.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N,
+   "extra": {...}}
 """
 from __future__ import annotations
 
 import json
+import logging
+import sys
 import time
 from pathlib import Path
 
@@ -29,33 +44,64 @@ ROOT = Path(__file__).parent
 N_ID = 1304
 N_SNP = 262144
 TILE = 4096
+REPS = 3
+
+logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                    format="bench: %(message)s")
+log = logging.getLogger("bench")
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def _panel(rng, n, m):
+    freqs = rng.uniform(0.05, 0.95, size=m)
+    geno = rng.binomial(2, freqs[None, :], size=(n, m)).astype(np.float32)
+    p_hat = geno.sum(0) / (2 * n)
+    return np.asarray(geno - 2 * p_hat[None, :], dtype=np.float32)
 
-    rng = np.random.default_rng(0)
-    freqs = rng.uniform(0.05, 0.95, size=N_SNP)
-    geno = rng.binomial(2, freqs[None, :], size=(N_ID, N_SNP)).astype(np.float32)
-    p_hat = geno.sum(0) / (2 * N_ID)
-    mat = np.asarray(geno - 2 * p_hat[None, :], dtype=np.float32)
-    py = (rng.standard_normal(N_ID) * 0.1).astype(np.float32)
-    cut = np.float32(1.0e9)  # no hits: pure scan cost, same as the C baseline
 
-    # Same math as the production phase-1 screen (gmat_tpu/scan/screen.py's
-    # triangular tile worklist), inlined with a constant threshold so the
-    # program is as small as possible: the tunnel's remote-compile service is
-    # flaky, and the benchmark must compile reliably.  One dispatch, one
-    # scalar fetch (per-tile host syncs cost ~30-60 ms RTT each here).
+def _screen_cut(mat, py, hit_frac):
+    """|eff| threshold hitting ~hit_frac of pairs: eff_ij = sum_k m_ik m_jk
+    py_k is ~normal with var ~= (sum py^2/n) * v_i * v_j; use the mean
+    column moment and the normal quantile."""
+    from scipy.stats import norm
+
+    v = float(np.mean(np.mean(mat * mat, axis=0)))
+    sig = np.sqrt(np.sum(py * py) / py.size) * v * np.sqrt(mat.shape[0])
+    return float(norm.isf(hit_frac / 2) * sig)
+
+
+def bench_production_screen(jnp, mat, py, n_snp, tile, hit_frac=2e-7):
+    """End-to-end `_run_screen` wall-clock: phase-1 counts + phase-2
+    extraction + host-side assembly, exactly as remma_epiAA_eff runs it."""
+    from gmat_tpu.scan.screen import _run_screen
+
+    m = mat.shape[1]
+    anchors = np.arange(m - 1, dtype=np.int32)
+    bins = np.zeros(m, dtype=np.int64)
+    cut = _screen_cut(np.asarray(mat), np.asarray(py), hit_frac)
+    table = np.full(111, cut)
+    kw = dict(mask_mode="tri", tile=tile)
+    i0, j0, e0 = _run_screen(mat, mat, py, anchors, bins, bins, table, **kw)
+    n_hits = len(i0)
+    log.info("production screen warmup: %d hits at cut %.4g", n_hits, cut)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        i0, j0, e0 = _run_screen(mat, mat, py, anchors, bins, bins, table,
+                                 **kw)
+    dt = (time.perf_counter() - t0) / REPS
+    assert len(i0) == n_hits and n_hits > 0
+    pairs = m * (m - 1) // 2
+    return pairs / dt, n_hits
+
+
+def bench_gemm_ceiling(jax, jnp, mat_d, py_d):
+    """Round-1 inline kernel: pure phase-1 GEMM sweep, cut so high nothing
+    hits — the screen's speed-of-light on this chip."""
     from gmat_tpu.scan.screen import _tile_worklist
 
-    mat_d = jax.device_put(jnp.asarray(mat))
-    py_d = jax.device_put(jnp.asarray(py))
+    cut = np.float32(1.0e9)
     work = jnp.asarray(
         _tile_worklist(np.arange(N_SNP, dtype=np.int32), N_SNP, "tri", TILE)
     )
-    j_ids = jnp.arange(N_SNP, dtype=jnp.int32)
     jt = jnp.arange(TILE, dtype=jnp.int32)
 
     @jax.jit
@@ -72,32 +118,119 @@ def main():
 
         return jnp.sum(jax.lax.map(pair_fn, work))
 
-    def run():
-        return int(screen_all(mat_d, py_d))
-
-    total = run()  # compile + warmup
-    reps = 3
+    total = int(screen_all(mat_d, py_d))  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(reps):
-        total = run()
-    dt = (time.perf_counter() - t0) / reps
+    for _ in range(REPS):
+        total = int(screen_all(mat_d, py_d))
+    dt = (time.perf_counter() - t0) / REPS
     assert total == 0
+    return (N_SNP * (N_SNP - 1) // 2) / dt
 
-    pairs = N_SNP * (N_SNP - 1) // 2
-    pairs_per_s = pairs / dt
 
+def bench_yeast_screen(jnp, rng):
+    """Production screen at the reference's yeast shape (BASELINE.md):
+    n=4168, m=28220, 398,170,090 pairs."""
+    n, m = 4168, 28220
+    mat = jnp.asarray(_panel(rng, n, m))
+    py = jnp.asarray((rng.standard_normal(n) * 0.1).astype(np.float32))
+    rate, hits = bench_production_screen(jnp, mat, py, m, 4096,
+                                         hit_frac=2e-5)
+    return rate, hits
+
+
+def bench_exact_scan(jax, jnp, rng):
+    """Exhaustive exact scan at mouse shape: eff + pair-variance GEMM +
+    on-device chi/p threshold compaction (scan/pairs.py), all 989,121
+    pairs.  Returns (pairs/s, achieved TF/s on the variance GEMM)."""
+    from gmat_tpu.scan.pairs import _anchor_tiles_batch
+
+    n, m = 1304, 1407
+    mat = jnp.asarray(_panel(rng, n, m))
+    py = jnp.asarray((rng.standard_normal(n) * 0.1).astype(np.float32))
+    a = rng.standard_normal((n, n)).astype(np.float32) * 0.01
+    pvp = jnp.asarray(a @ a.T + np.eye(n, dtype=np.float32))
+    tile = 128
+    anchors = np.arange(m - 1, dtype=np.int32)
+    n_tiles = -(-len(anchors) // tile)
+    padded = np.pad(anchors, (0, n_tiles * tile - len(anchors)),
+                    constant_values=anchors[-1])
+    avalid = jnp.asarray(np.arange(len(padded)) < len(anchors))
+    padded_d = jnp.asarray(padded)
+    tstarts = jnp.asarray(np.arange(n_tiles, dtype=np.int32) * tile)
+    chi_crit = jnp.asarray(50.0, dtype=jnp.float32)  # ~p<1e-12: few hits
+
+    def run():
+        out = _anchor_tiles_batch(tstarts, padded_d, avalid, mat, mat, py,
+                                  pvp, chi_crit, True, tile, 4096)
+        return int(np.asarray(out[0]).sum())
+
+    run()  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        run()
+    dt = (time.perf_counter() - t0) / REPS
+    pairs = m * (m - 1) // 2
+    # FLOPs: per padded anchor, pvp@E is 2*n^2*m; eff and the colsum add
+    # 4*n*m more (negligible)
+    flops = n_tiles * tile * (2.0 * n * n * m + 4.0 * n * m)
+    return pairs / dt, flops / dt / 1e12
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    mat = _panel(rng, N_ID, N_SNP)
+    py = (rng.standard_normal(N_ID) * 0.1).astype(np.float32)
+    mat_d = jax.device_put(jnp.asarray(mat))
+    py_d = jax.device_put(jnp.asarray(py))
+
+    extra = {}
+
+    def section(name, fn):
+        try:
+            t0 = time.perf_counter()
+            out = fn()
+            log.info("%s done in %.1f s (incl. compile)", name,
+                     time.perf_counter() - t0)
+            return out
+        except Exception as exc:  # degrade, don't die: remote compile flakes
+            log.warning("%s failed: %r", name, exc)
+            return None
+
+    prod = section("production_screen",
+                   lambda: bench_production_screen(jnp, mat_d, py_d, N_SNP,
+                                                   TILE))
+    if prod:
+        extra["screen_hits"] = prod[1]
+    ceiling = section("gemm_ceiling",
+                      lambda: bench_gemm_ceiling(jax, jnp, mat_d, py_d))
+    if ceiling:
+        extra["screen_gemm_ceiling_pairs_per_s"] = round(ceiling, 1)
+    yeast = section("yeast_screen", lambda: bench_yeast_screen(jnp, rng))
+    if yeast:
+        extra["yeast_screen_pairs_per_s"] = round(yeast[0], 1)
+        extra["yeast_screen_hits"] = yeast[1]
+    exact = section("exact_scan", lambda: bench_exact_scan(jax, jnp, rng))
+    if exact:
+        extra["exact_scan_pairs_per_s"] = round(exact[0], 1)
+        extra["exact_scan_tflops"] = round(exact[1], 2)
+
+    headline = prod[0] if prod else (ceiling or 0.0)
     base_file = ROOT / "bench_baseline.json"
     vs = None
     if base_file.exists():
         base = json.loads(base_file.read_text())
-        vs = pairs_per_s / base["reference_epiAA_screen_pairs_per_s"]
+        vs = headline / base["reference_epiAA_screen_pairs_per_s"]
     print(
         json.dumps(
             {
-                "metric": "epiAA_screen_pairs_per_s",
-                "value": round(pairs_per_s, 1),
+                "metric": "epiAA_production_screen_pairs_per_s",
+                "value": round(headline, 1),
                 "unit": "pairs/s",
                 "vs_baseline": round(vs, 2) if vs is not None else None,
+                "extra": extra,
             }
         )
     )

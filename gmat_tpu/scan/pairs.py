@@ -35,6 +35,7 @@ import pandas as pd
 
 from gmat_tpu.config import ScanConfig
 from gmat_tpu.core.coding import additive_code, dominance_code
+from gmat_tpu.core.roofline import log_phase, maybe_trace
 from gmat_tpu.core.stats import chi2_sf
 from gmat_tpu.io.pheno import design_matrix
 from gmat_tpu.scan.common import prepare_genotypes, score_pieces
@@ -164,8 +165,15 @@ def _chi2_sf_host(chi):
     return erfc(np.sqrt(np.maximum(chi, 0.0) / 2.0))
 
 
-def _scan_anchors(mat0, mat1, pieces, snp_lst_0, num_snp, triangular, p_cut,
-                  out_file, tile=None, mesh=None):
+def _scan_anchors(*args, **kwargs):
+    """`_scan_anchors_impl` under the optional jax.profiler trace hook
+    (GMAT_TPU_TRACE_DIR; core/roofline.py)."""
+    with maybe_trace("exact_scan"):
+        return _scan_anchors_impl(*args, **kwargs)
+
+
+def _scan_anchors_impl(mat0, mat1, pieces, snp_lst_0, num_snp, triangular,
+                       p_cut, out_file, tile=None, mesh=None):
     """Device-tiled anchor sweep with ON-DEVICE p-filtering + compaction:
     one dispatch per anchor-tile group, O(hits) host transfer (VERDICT item
     3 — the previous version fetched four full (tile, m) float64 panels and
@@ -252,6 +260,11 @@ def _scan_anchors(mat0, mat1, pieces, snp_lst_0, num_snp, triangular, p_cut,
     logger.info("Exact scan: %d anchors, %d tests, %d hits in %.3f s "
                 "(%.3g pairs/s)", len(anchors), n_pairs, n_hits, dt,
                 n_pairs / max(dt, 1e-9))
+    # the pair-variance GEMM (pvp @ E, 2*n^2*m per padded anchor) dominates
+    # the exact scan's FLOPs — the roofline SURVEY §3.3 names north-star
+    n = mat0.shape[0]
+    log_phase("exact_scan", float(n_tiles_pad * tile)
+              * (2.0 * n * n + 4.0 * n) * mat1.shape[1], dt, items=n_pairs)
     return 0
 
 

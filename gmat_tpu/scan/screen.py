@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 
 from gmat_tpu.core.coding import additive_code, dominance_code
+from gmat_tpu.core.roofline import log_phase, maybe_trace
 from gmat_tpu.core.stats import chi2_isf
 from gmat_tpu.io.pheno import design_matrix
 from gmat_tpu.scan.common import prepare_genotypes, score_pieces
@@ -42,6 +43,7 @@ from gmat_tpu.scan.pairs import balanced_anchor_split
 logger = logging.getLogger(__name__)
 
 _HIT_CAP = 65536  # fixed per-anchor-tile hit capacity (static shapes for XLA)
+_EXTRACT_CHUNK = 4096  # partner columns per phase-2 scan step (HBM bound)
 
 
 def _screen_slack() -> float:
@@ -63,15 +65,16 @@ def _screen_slack() -> float:
 
 
 def _screen_tile_body(tstart, anchors_padded, bins_anchor, a_gath, b_mat,
-                      t2_p, mask_mode, tile, cap):
+                      t2_p, chunk_counts, mask_mode, tile, cap):
     """One anchor tile vs all partners -> compacted hits.
 
     a_gath: (n, n_tiles*TA) all anchor columns pre-scaled by pymat (sliced
     at tstart so batched calls reuse one gather); bins_anchor: (n_tiles*TA,)
     anchor MAF bins; b_mat: (n, m) partner-coded matrix; t2_p: (11, m)
-    bin-pair thresholds expanded over partners.  mask_mode: 'tri' keeps
-    j > i (AA/DD); 'nodiag' keeps j != i (AD).  Returns
-    (count, idx0, idx1, eff) with fixed capacity `cap`.
+    bin-pair thresholds expanded over partners; chunk_counts: (p_tiles,)
+    phase-1 hit counts of THIS anchor tile against each partner tile.
+    mask_mode: 'tri' keeps j > i (AA/DD); 'nodiag' keeps j != i (AD).
+    Returns (count, idx0, idx1, eff) with fixed capacity `cap`.
 
     TPU notes (each measured on the yeast-scale stress shape):
     - per-pair cuts come from two small one-hot matmuls, not a (TA, m)
@@ -80,49 +83,91 @@ def _screen_tile_body(tstart, anchors_padded, bins_anchor, a_gath, b_mat,
     - compaction is a hand-rolled int32 prefix-sum + scatter rather than
       `jnp.nonzero` (int64 again: 10.5s -> 0.6s per tile).  Hits beyond
       `cap` are dropped by the scatter (`mode="drop"`); the driver sizes
-      `cap` from the phase-1 counts, which upper-bound every tile.
+      `cap` from the phase-1 counts, which upper-bound every tile;
+    - the partner axis is CHUNKED at the phase-1 tile granularity with a
+      lax.scan (a dense (tile, m) pass holds ~3 int32 copies of tile*m —
+      measured HBM OOM at the 262144-SNP bench shape), and chunks whose
+      phase-1 count is zero are lax.cond-SKIPPED, so extraction work is
+      proportional to hot tile-pairs, not the panel width.
     """
     dtype = a_gath.dtype
     m = b_mat.shape[1]
     a_idx = jax.lax.dynamic_slice_in_dim(anchors_padded, tstart, tile)
     a_scaled = jax.lax.dynamic_slice_in_dim(a_gath, tstart, tile, axis=1)
     ba = jax.lax.dynamic_slice_in_dim(bins_anchor, tstart, tile)
-    s = a_scaled.T @ b_mat  # (TA, m) — the MXU GEMM
-    cut_rows = jax.nn.one_hot(ba, 11, dtype=dtype) @ t2_p  # per-pair cuts
-    j_ids = jnp.arange(m, dtype=jnp.int32)[None, :]
-    if mask_mode == "tri":
-        valid = j_ids > a_idx[:, None]
-    else:
-        valid = j_ids != a_idx[:, None]
-    hit = (jnp.abs(s) > cut_rows) & valid
-    flat = hit.ravel()
-    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    count = pos[-1] + 1
-    dest = jnp.where(flat, pos, cap)  # non-hits land in the spare slot
-    flat_idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
-    buf = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(flat_idx, mode="drop")
-    sel = buf[:cap]
-    rows = sel // m
-    cols = sel % m
-    return count, a_idx[rows], cols, s[rows, cols]
+    cut_onehot = jax.nn.one_hot(ba, 11, dtype=dtype)  # (TA, 11)
+    chunk = min(tile, m)
+    n_chunks = -(-m // chunk)
+    if n_chunks * chunk != m:
+        # pad partners; +inf thresholds make padded columns unhittable even
+        # for keep-everything NEGATIVE cuts
+        b_mat = jnp.pad(b_mat, ((0, 0), (0, n_chunks * chunk - m)))
+        t2_p = jnp.pad(t2_p, ((0, 0), (0, n_chunks * chunk - m)),
+                       constant_values=jnp.inf)
+    jt = jnp.arange(chunk, dtype=jnp.int32)
+
+    def work(carry, pc):
+        buf_i, buf_j, buf_e, total = carry
+        pstart = pc * chunk
+        b = jax.lax.dynamic_slice_in_dim(b_mat, pstart, chunk, axis=1)
+        s = a_scaled.T @ b  # (TA, chunk) — the MXU GEMM
+        cuts = cut_onehot @ jax.lax.dynamic_slice_in_dim(t2_p, pstart, chunk,
+                                                         axis=1)
+        j_ids = (pstart + jt)[None, :]
+        if mask_mode == "tri":
+            valid = j_ids > a_idx[:, None]
+        else:
+            valid = j_ids != a_idx[:, None]
+        hit = (jnp.abs(s) > cuts) & valid
+        flat = hit.ravel()
+        pos = jnp.cumsum(flat.astype(jnp.int32)) - 1 + total
+        dest = jnp.where(flat, pos, cap)  # non-hits -> spare slot; the
+        # clamp drops overflow hits (the caller's cap covers the phase-1
+        # count so this never truncates real output)
+        dest = jnp.minimum(dest, cap)
+        buf_i = buf_i.at[dest].set(
+            jnp.broadcast_to(a_idx[:, None], hit.shape).ravel(),
+            mode="drop")
+        buf_j = buf_j.at[dest].set(
+            jnp.broadcast_to(j_ids, hit.shape).ravel(), mode="drop")
+        buf_e = buf_e.at[dest].set(s.ravel(), mode="drop")
+        return buf_i, buf_j, buf_e, pos[-1] + 1
+
+    def step(carry, pc):
+        return jax.lax.cond(chunk_counts[pc] > 0, work,
+                            lambda c, _: c, carry, pc), None
+
+    # derive the init from tstart so it carries the same varying-axis type
+    # as the body outputs when this runs inside shard_map (a plain zeros
+    # init is replicated and lax.scan rejects the carry-type mismatch)
+    zero = tstart * 0
+    init = (jnp.zeros((cap + 1,), jnp.int32) + zero,
+            jnp.zeros((cap + 1,), jnp.int32) + zero,
+            jnp.zeros((cap + 1,), dtype) + zero.astype(dtype), zero)
+    (buf_i, buf_j, buf_e, count), _ = jax.lax.scan(
+        step, init, jnp.arange(n_chunks, dtype=jnp.int32))
+    return count, buf_i[:cap], buf_j[:cap], buf_e[:cap]
 
 
 @partial(jax.jit, static_argnames=("mask_mode", "tile", "cap"))
-def _screen_tiles_batch(tstarts, anchors_padded, bins_anchor, a_gath, b_mat,
-                        t2_p, mask_mode, tile, cap):
+def _screen_tiles_batch(tstarts, chunk_counts, anchors_padded, bins_anchor,
+                        a_gath, b_mat, t2_p, mask_mode, tile, cap):
     """Phase 2, ONE dispatch for a batch of hot anchor tiles: lax.map of
-    `_screen_tile_body` over the (K,) tile starts.  Returns per-tile
-    (counts (K,), idx0 (K, cap), idx1 (K, cap), eff (K, cap))."""
+    `_screen_tile_body` over the (K,) tile starts (chunk_counts: (K,
+    p_tiles) phase-1 counts).  Returns per-tile (counts (K,), idx0 (K, cap),
+    idx1 (K, cap), eff (K, cap))."""
 
-    def one(tstart):
+    def one(args):
+        tstart, cc = args
         return _screen_tile_body(tstart, anchors_padded, bins_anchor, a_gath,
-                                 b_mat, t2_p, mask_mode, tile, cap)
+                                 b_mat, t2_p, cc, mask_mode, tile, cap)
 
-    return jax.lax.map(one, tstarts)
+    return jax.lax.map(one, (tstarts, chunk_counts))
 
 
-def _screen_tiles_mesh(mesh, tstarts, anchors_padded, bins_anchor, a_gath,
-                       b_mat, t2_p, mask_mode, tile, cap):
+def _screen_tiles_mesh(mesh, tstarts, chunk_counts, anchors_padded,
+                       bins_anchor, a_gath, b_mat, t2_p, mask_mode, tile,
+                       cap):
     """Phase 2 over a device mesh: the hot-tile list is sharded over the
     mesh axis (anchors/partners/thresholds replicated); each device runs the
     SAME per-tile math as the single-device path, so the merged output is
@@ -135,18 +180,20 @@ def _screen_tiles_mesh(mesh, tstarts, anchors_padded, bins_anchor, a_gath,
     @jax.jit
     @partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(AXIS), P(None), P(None), P(None, None), P(None, None),
-                  P(None, None)),
+        in_specs=(P(AXIS), P(AXIS, None), P(None), P(None), P(None, None),
+                  P(None, None), P(None, None)),
         out_specs=(P(AXIS), P(AXIS, None), P(AXIS, None), P(AXIS, None)),
     )
-    def kernel(ts, ap, ba, ag, bm, tp):
-        def one(tstart):
-            return _screen_tile_body(tstart, ap, ba, ag, bm, tp, mask_mode,
-                                     tile, cap)
+    def kernel(ts, cc, ap, ba, ag, bm, tp):
+        def one(args):
+            tstart, cc_row = args
+            return _screen_tile_body(tstart, ap, ba, ag, bm, tp, cc_row,
+                                     mask_mode, tile, cap)
 
-        return jax.lax.map(one, ts)
+        return jax.lax.map(one, (ts, cc))
 
-    return kernel(tstarts, anchors_padded, bins_anchor, a_gath, b_mat, t2_p)
+    return kernel(tstarts, chunk_counts, anchors_padded, bins_anchor, a_gath,
+                  b_mat, t2_p)
 
 
 @jax.jit
@@ -320,8 +367,15 @@ def _pad_rows_to(arr: np.ndarray, mult: int) -> np.ndarray:
     return arr
 
 
-def _run_screen(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
-                mask_mode, tile, flip_output=False, mesh=None):
+def _run_screen(*args, **kwargs):
+    """`_run_screen_impl` under the optional jax.profiler trace hook
+    (GMAT_TPU_TRACE_DIR; core/roofline.py)."""
+    with maybe_trace("screen"):
+        return _run_screen_impl(*args, **kwargs)
+
+
+def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
+                     mask_mode, tile, flip_output=False, mesh=None):
     """Two-phase host driver: one counts dispatch (phase 1), then batched
     extraction of the non-empty anchor tiles, grouped into capacity buckets
     sized from the phase-1 counts (phase 2) — so every tile fits its buffer
@@ -366,9 +420,17 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
         "%d raw hits (incl. padding duplicates)", len(work), dt,
         pairs_swept / max(dt, 1e-9), int(pair_counts.sum()),
     )
+    log_phase("screen/phase1", 2.0 * a_mat.shape[0] * pairs_swept, dt,
+              items=pairs_swept)
     counts = np.zeros(n_tiles, dtype=np.int64)
     np.add.at(counts, work[:, 0], pair_counts)
     hot = np.nonzero(counts)[0]
+    # dense (anchor-tile, partner-chunk) count grid: phase 2 lax.cond-skips
+    # the GEMM + compaction of every zero chunk, so extraction cost tracks
+    # hot tile-pairs, not the panel width
+    chunk = min(tile, b_mat.shape[1])
+    count_grid = np.zeros((n_tiles, -(-b_mat.shape[1] // chunk)), np.int32)
+    count_grid[work[:, 0], work[:, 1]] = np.minimum(pair_counts, 2**31 - 1)
     tile_res = {}
     if len(hot):
         # device-side precompute shared by every hot tile; one gather
@@ -387,14 +449,17 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
         for cap in np.unique(caps):
             bucket = hot[caps == cap]
             tstarts = (bucket * tile).astype(np.int32)
+            ccs = count_grid[bucket]
             if mesh is not None:
                 cnts, his, hjs, hes = _screen_tiles_mesh(
                     mesh, jnp.asarray(_pad_rows_to(tstarts, ndev)),
+                    jnp.asarray(_pad_rows_to(ccs, ndev)),
                     padded_d, bins_anchor_d, a_gath_all, b_mat, t2_p_d,
                     mask_mode, tile, int(cap))
             else:
                 cnts, his, hjs, hes = _screen_tiles_batch(
-                    jnp.asarray(tstarts), padded_d, bins_anchor_d,
+                    jnp.asarray(tstarts), jnp.asarray(ccs),
+                    padded_d, bins_anchor_d,
                     a_gath_all, b_mat, t2_p_d, mask_mode, tile, int(cap))
             cnts = np.asarray(cnts)
             his, hjs, hes = (np.asarray(a) for a in (his, hjs, hes))
@@ -409,6 +474,10 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
             continue
         start = int(t) * tile
         batch = anchors[start:start + tile]
+        # canonical (i, j) row order within the tile: the chunked extraction
+        # scan emits hits chunk-major, not row-major
+        order = np.lexsort((hj, hi))
+        hi, hj, he = hi[order], hj[order], he[order]
         if len(batch) < tile:  # drop hits from duplicated padding anchors
             keep = np.isin(hi, batch)
             # padding duplicates batch[-1]; dedupe exact duplicate rows
@@ -422,10 +491,14 @@ def _run_screen(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
         out_j.append(hj)
         out_e.append(he)
     if len(hot):
+        dt2 = time.perf_counter() - clock_t0 - dt
         logger.info("Screen phase 2: extracted %d hits from %d hot tiles "
                     "(%d dispatches) in %.3f s",
                     sum(len(h) for h in out_i), len(hot),
-                    len(np.unique(caps)), time.perf_counter() - clock_t0 - dt)
+                    len(np.unique(caps)), dt2)
+        hot_chunks = int(np.count_nonzero(count_grid[hot]))
+        log_phase("screen/phase2", 2.0 * a_mat.shape[0] * hot_chunks
+                  * tile * chunk, dt2, items=hot_chunks * tile * chunk)
     if not out_i:
         return (np.empty(0, np.int64),) * 2 + (np.empty(0),)
     return (np.concatenate(out_i).astype(np.int64),

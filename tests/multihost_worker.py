@@ -1,0 +1,43 @@
+"""Subprocess body for test_multihost.py: one process of a 2-process
+jax.distributed CPU cluster (SURVEY §4 test item 3).
+
+Usage: python multihost_worker.py <process_id> <num_processes> <port> <out>
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+# 2 virtual devices per process -> a 4-device global mesh across 2 processes
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    pid, nproc, port, out = (int(sys.argv[1]), int(sys.argv[2]),
+                             int(sys.argv[3]), sys.argv[4])
+    from gmat_tpu.dist import initialize_multihost
+    from gmat_tpu.dist.mesh import sharded_additive_grm
+
+    mesh = initialize_multihost(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc, process_id=pid,
+    )
+    assert jax.process_count() == nproc
+    assert mesh.devices.size == jax.device_count()
+    rng = np.random.default_rng(7)  # same data on every process
+    geno = rng.choice([0.0, 1.0, 2.0], size=(40, 64))
+    kin = np.asarray(sharded_additive_grm(geno, mesh))  # replicated output
+    if pid == 0:
+        np.savez(out, kin=kin, geno=geno,
+                 ndev=int(jax.device_count()))
+    print(f"proc {pid} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""True multi-process jax.distributed test (SURVEY §4 item 3): a 2-process
+CPU cluster boots via `gmat_tpu.dist.initialize_multihost`, builds the
+global mesh, and the sharded GRM over it matches the single-process result.
+
+Runs in subprocesses because jax.distributed can only be initialized once
+per process (the test runner already owns a single-process backend).
+"""
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_cluster_grm(tmp_path):
+    import jax.numpy as jnp
+
+    from gmat_tpu.grm.grm import additive_grm
+
+    port = _free_port()
+    out = str(tmp_path / "result.npz")
+    worker = str(Path(__file__).parent / "multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), out],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    logs = []
+    for p in procs:
+        log, _ = p.communicate(timeout=300)
+        logs.append(log)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log}"
+    got = np.load(out)
+    assert got["ndev"] == 4  # 2 virtual devices x 2 processes
+    want = np.asarray(additive_grm(jnp.asarray(got["geno"])))
+    np.testing.assert_allclose(got["kin"], want, rtol=1e-10, atol=1e-12)

@@ -64,3 +64,25 @@ pvp = a @ a.T / n + np.eye(n)
 anchors = np.arange(16, dtype=np.int32)
 p = np.asarray(sharded_exact_scan_tile(anchors, mat.astype(np.float64), py.astype(np.float64), pvp, mesh))
 print("exact tile p-matrix:", p.shape, "finite:", bool(np.isfinite(p).all()))
+
+# 4) the PRODUCTION file-level pipeline on the mesh (round 2): every scan,
+# screen, approx pipeline, and GRM entry point accepts `mesh=`, and the CLI
+# exposes it as `gmat-tpu --devices N ...`.  Output files are byte-identical
+# to single-device runs (tests/test_dist.py proves it on this fixture).
+from gmat_tpu.grm.grm import additive_grm  # noqa: E402
+from gmat_tpu.scan.screen import remma_epiAA_approx  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+ag = np.asarray(additive_grm(jnp.asarray(geno)))
+var_com = np.array([0.06289206, 0.07641075, 0.08121168])
+pheno = str(Path(bed).parent / "pheno")
+remma_epiAA_approx(pheno, bed, [ag, ag * ag], var_com, p_cut=1e-4,
+                   num_random_pair=5000, out_file=str(out / "epiAA_meshed"),
+                   mesh=mesh)
+print("meshed approx pipeline rows:",
+      sum(1 for _ in open(out / "epiAA_meshed")) - 1)
+
+# 5) multi-host: on a TPU pod every process calls
+#     mesh = gmat_tpu.dist.initialize_multihost()
+# once at startup and passes the returned global mesh exactly as above
+# (tests/test_multihost.py runs a real 2-process CPU cluster this way).

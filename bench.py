@@ -180,6 +180,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the tunnel's remote-compile service takes
+    # 10-30 min per fresh program when degraded; cached executables load in
+    # seconds on re-runs (same program + same libtpu)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(ROOT / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as exc:  # older jax: cache flags absent
+        log.warning("compilation cache unavailable: %r", exc)
+
     rng = np.random.default_rng(0)
     mat = _panel(rng, N_ID, N_SNP)
     py = (rng.standard_normal(N_ID) * 0.1).astype(np.float32)

@@ -65,7 +65,7 @@ def _screen_slack() -> float:
 
 
 def _screen_tile_body(tstart, anchors_padded, bins_anchor, a_gath, b_mat,
-                      t2_p, chunk_counts, mask_mode, tile, cap):
+                      t2_p, chunk_counts, mask_mode, tile, cap, k_row=0):
     """One anchor tile vs all partners -> compacted hits.
 
     a_gath: (n, n_tiles*TA) all anchor columns pre-scaled by pymat (sliced
@@ -105,9 +105,9 @@ def _screen_tile_body(tstart, anchors_padded, bins_anchor, a_gath, b_mat,
         t2_p = jnp.pad(t2_p, ((0, 0), (0, n_chunks * chunk - m)),
                        constant_values=jnp.inf)
     jt = jnp.arange(chunk, dtype=jnp.int32)
+    k_eff = min(k_row, chunk) if k_row else 0
 
-    def work(carry, pc):
-        buf_i, buf_j, buf_e, total = carry
+    def hits_of(pc):
         pstart = pc * chunk
         b = jax.lax.dynamic_slice_in_dim(b_mat, pstart, chunk, axis=1)
         s = a_scaled.T @ b  # (TA, chunk) — the MXU GEMM
@@ -118,7 +118,11 @@ def _screen_tile_body(tstart, anchors_padded, bins_anchor, a_gath, b_mat,
             valid = j_ids > a_idx[:, None]
         else:
             valid = j_ids != a_idx[:, None]
-        hit = (jnp.abs(s) > cuts) & valid
+        return s, j_ids, (jnp.abs(s) > cuts) & valid
+
+    def work_scatter(carry, pc):
+        buf_i, buf_j, buf_e, total, max_rc = carry
+        s, j_ids, hit = hits_of(pc)
         flat = hit.ravel()
         pos = jnp.cumsum(flat.astype(jnp.int32)) - 1 + total
         dest = jnp.where(flat, pos, cap)  # non-hits -> spare slot; the
@@ -131,7 +135,38 @@ def _screen_tile_body(tstart, anchors_padded, bins_anchor, a_gath, b_mat,
         buf_j = buf_j.at[dest].set(
             jnp.broadcast_to(j_ids, hit.shape).ravel(), mode="drop")
         buf_e = buf_e.at[dest].set(s.ravel(), mode="drop")
-        return buf_i, buf_j, buf_e, pos[-1] + 1
+        return buf_i, buf_j, buf_e, pos[-1] + 1, max_rc
+
+    def work_topk(carry, pc):
+        # scatter-free candidate selection: a 16M-update scatter per chunk
+        # is the slowest op XLA emits on TPU; per-row top-k keeps only
+        # (TA, k) candidates so the scatter shrinks by chunk/k (128x at
+        # the default tile).  Rows with > k hits are detected via max_rc
+        # and the driver retries the tile with k doubled.
+        buf_i, buf_j, buf_e, total, max_rc = carry
+        s, j_ids, hit = hits_of(pc)
+        # +1 ranks EVERY hit above every non-hit even when eff == 0
+        # exactly (keep-all negative cuts, monomorphic SNPs)
+        key = jnp.where(hit, jnp.abs(s) + 1, 0)
+        _, kidx = jax.lax.top_k(key, k_eff)  # (TA, k)
+        row_cnt = jnp.sum(hit, axis=1, dtype=jnp.int32)
+        rc_cap = jnp.minimum(row_cnt, k_eff)
+        offs = total + jnp.cumsum(rc_cap) - rc_cap  # exclusive, int32
+        rank = jnp.arange(k_eff, dtype=jnp.int32)[None, :]
+        dest = jnp.where(rank < rc_cap[:, None], offs[:, None] + rank, cap)
+        dest = jnp.minimum(dest, cap).ravel()
+        cols = (j_ids[0, 0] + kidx).ravel()  # pstart + in-chunk index
+        buf_i = buf_i.at[dest].set(
+            jnp.broadcast_to(a_idx[:, None], (tile, k_eff)).ravel(),
+            mode="drop")
+        buf_j = buf_j.at[dest].set(cols, mode="drop")
+        buf_e = buf_e.at[dest].set(
+            jnp.take_along_axis(s, kidx, axis=1).ravel(), mode="drop")
+        return (buf_i, buf_j, buf_e,
+                total + jnp.sum(row_cnt, dtype=jnp.int32),
+                jnp.maximum(max_rc, jnp.max(row_cnt)))
+
+    work = work_topk if k_eff else work_scatter
 
     def step(carry, pc):
         return jax.lax.cond(chunk_counts[pc] > 0, work,
@@ -143,31 +178,32 @@ def _screen_tile_body(tstart, anchors_padded, bins_anchor, a_gath, b_mat,
     zero = tstart * 0
     init = (jnp.zeros((cap + 1,), jnp.int32) + zero,
             jnp.zeros((cap + 1,), jnp.int32) + zero,
-            jnp.zeros((cap + 1,), dtype) + zero.astype(dtype), zero)
-    (buf_i, buf_j, buf_e, count), _ = jax.lax.scan(
+            jnp.zeros((cap + 1,), dtype) + zero.astype(dtype), zero, zero)
+    (buf_i, buf_j, buf_e, count, max_rc), _ = jax.lax.scan(
         step, init, jnp.arange(n_chunks, dtype=jnp.int32))
-    return count, buf_i[:cap], buf_j[:cap], buf_e[:cap]
+    return count, buf_i[:cap], buf_j[:cap], buf_e[:cap], max_rc
 
 
-@partial(jax.jit, static_argnames=("mask_mode", "tile", "cap"))
+@partial(jax.jit, static_argnames=("mask_mode", "tile", "cap", "k_row"))
 def _screen_tiles_batch(tstarts, chunk_counts, anchors_padded, bins_anchor,
-                        a_gath, b_mat, t2_p, mask_mode, tile, cap):
+                        a_gath, b_mat, t2_p, mask_mode, tile, cap, k_row=0):
     """Phase 2, ONE dispatch for a batch of hot anchor tiles: lax.map of
     `_screen_tile_body` over the (K,) tile starts (chunk_counts: (K,
     p_tiles) phase-1 counts).  Returns per-tile (counts (K,), idx0 (K, cap),
-    idx1 (K, cap), eff (K, cap))."""
+    idx1 (K, cap), eff (K, cap), max_row_count (K,))."""
 
     def one(args):
         tstart, cc = args
         return _screen_tile_body(tstart, anchors_padded, bins_anchor, a_gath,
-                                 b_mat, t2_p, cc, mask_mode, tile, cap)
+                                 b_mat, t2_p, cc, mask_mode, tile, cap,
+                                 k_row)
 
     return jax.lax.map(one, (tstarts, chunk_counts))
 
 
 def _screen_tiles_mesh(mesh, tstarts, chunk_counts, anchors_padded,
                        bins_anchor, a_gath, b_mat, t2_p, mask_mode, tile,
-                       cap):
+                       cap, k_row=0):
     """Phase 2 over a device mesh: the hot-tile list is sharded over the
     mesh axis (anchors/partners/thresholds replicated); each device runs the
     SAME per-tile math as the single-device path, so the merged output is
@@ -182,13 +218,14 @@ def _screen_tiles_mesh(mesh, tstarts, chunk_counts, anchors_padded,
         jax.shard_map, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS, None), P(None), P(None), P(None, None),
                   P(None, None), P(None, None)),
-        out_specs=(P(AXIS), P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+        out_specs=(P(AXIS), P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                   P(AXIS)),
     )
     def kernel(ts, cc, ap, ba, ag, bm, tp):
         def one(args):
             tstart, cc_row = args
             return _screen_tile_body(tstart, ap, ba, ag, bm, tp, cc_row,
-                                     mask_mode, tile, cap)
+                                     mask_mode, tile, cap, k_row)
 
         return jax.lax.map(one, (ts, cc))
 
@@ -446,23 +483,41 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
         # extraction count (they additionally include padded-partner hits
         # for negative keep-all cuts), so `cap` never overflows
         caps = np.maximum(4096, 1 << np.int64(np.ceil(np.log2(counts[hot]))))
+        chunk_ = min(tile, b_mat.shape[1])
+        mode = os.environ.get("GMAT_TPU_EXTRACT", "topk")
         for cap in np.unique(caps):
             bucket = hot[caps == cap]
             tstarts = (bucket * tile).astype(np.int32)
             ccs = count_grid[bucket]
-            if mesh is not None:
-                cnts, his, hjs, hes = _screen_tiles_mesh(
-                    mesh, jnp.asarray(_pad_rows_to(tstarts, ndev)),
-                    jnp.asarray(_pad_rows_to(ccs, ndev)),
-                    padded_d, bins_anchor_d, a_gath_all, b_mat, t2_p_d,
-                    mask_mode, tile, int(cap))
-            else:
-                cnts, his, hjs, hes = _screen_tiles_batch(
-                    jnp.asarray(tstarts), jnp.asarray(ccs),
-                    padded_d, bins_anchor_d,
-                    a_gath_all, b_mat, t2_p_d, mask_mode, tile, int(cap))
-            cnts = np.asarray(cnts)
-            his, hjs, hes = (np.asarray(a) for a in (his, hjs, hes))
+            # per-row top-k candidate cap: the per-tile total `cap` bounds
+            # every row; start at the average-density estimate and let the
+            # overflow retry double it.  Dense screens (keep-all cuts) go
+            # straight to the scatter path.
+            k_row = max(8, 1 << int(np.ceil(np.log2(max(1, cap / tile)))))
+            if mode == "scatter" or k_row >= chunk_:
+                k_row = 0
+            while True:
+                if mesh is not None:
+                    out = _screen_tiles_mesh(
+                        mesh, jnp.asarray(_pad_rows_to(tstarts, ndev)),
+                        jnp.asarray(_pad_rows_to(ccs, ndev)),
+                        padded_d, bins_anchor_d, a_gath_all, b_mat, t2_p_d,
+                        mask_mode, tile, int(cap), k_row)
+                else:
+                    out = _screen_tiles_batch(
+                        jnp.asarray(tstarts), jnp.asarray(ccs),
+                        padded_d, bins_anchor_d,
+                        a_gath_all, b_mat, t2_p_d, mask_mode, tile,
+                        int(cap), k_row)
+                cnts, his, hjs, hes, max_rcs = (np.asarray(a) for a in out)
+                mx = int(max_rcs.max()) if k_row else 0
+                if not k_row or mx <= k_row:
+                    break
+                # some row had more hits than the candidate cap: double it
+                # (one retry suffices: mx is the true densest row)
+                k_row = 1 << (mx - 1).bit_length()
+                if k_row >= chunk_:
+                    k_row = 0  # denser than top-k pays for: scatter path
             for k, t in enumerate(bucket):
                 c = int(cnts[k])
                 assert c <= cap, "phase-1 count no longer bounds extraction"

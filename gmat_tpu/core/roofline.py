@@ -7,10 +7,11 @@ observability is its "Running time: Clock time" prints
 (/root/reference/gmat/remma/remma_epiAA/remma_epiAA.py:84-86); this module
 is the TPU-native upgrade.
 
-Peak calibration: the default 60 TF/s is the measured default-precision f32
-matmul rate on the bench chip (bf16-compute/f32-accumulate on a v5e MXU;
-see BASELINE.md).  Override with GMAT_TPU_PEAK_TFLOPS for other chips, e.g.
-a v5p or a CPU run.
+Peak calibration: the default 197 TF/s is the v5e bf16 MXU peak — the
+compute mode of default-precision f32 matmuls on TPU (bf16-compute /
+f32-accumulate; measured screen GEMMs reach 70-130 TF/s depending on
+shape, see BASELINE.md).  Override with GMAT_TPU_PEAK_TFLOPS for other
+chips or a CPU run.
 """
 from __future__ import annotations
 
@@ -20,7 +21,7 @@ import os
 
 logger = logging.getLogger(__name__)
 
-_DEFAULT_PEAK_TFLOPS = 60.0
+_DEFAULT_PEAK_TFLOPS = 197.0
 
 
 def peak_tflops() -> float:

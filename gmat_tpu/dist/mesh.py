@@ -163,10 +163,10 @@ def sharded_screen_hits(mat: np.ndarray, pymat: np.ndarray, cut: float,
 
     Phase 1 reuses `sharded_screen_counts` (each device sweeps its interleaved
     anchors). Phase 2 extracts hits only for the (rare) anchors with a
-    non-zero count via the single-chip tile kernel — the deterministic
-    replacement for the reference's per-machine output files + concatenation
-    (README.md:191-204).  Hits are returned sorted by (i, j) so the merged
-    table is byte-stable across topologies."""
+    non-zero count, its hot-tile work list itself sharded over the mesh —
+    the deterministic replacement for the reference's per-machine output
+    files + concatenation (README.md:191-204).  Hits are returned sorted by
+    (i, j) so the merged table is byte-stable across topologies."""
     import jax.numpy as jnp
 
     from gmat_tpu.scan.screen import _run_screen
@@ -181,7 +181,7 @@ def sharded_screen_hits(mat: np.ndarray, pymat: np.ndarray, cut: float,
                               jnp.asarray(mat, dtype=jnp.float32),
                               jnp.asarray(pymat, dtype=jnp.float32),
                               hot, bins, bins, table, "tri",
-                              min(tile, len(hot)))
+                              min(tile, len(hot)), mesh=mesh)
     order = np.lexsort((i1, i0))
     return i0[order], i1[order], eff[order]
 

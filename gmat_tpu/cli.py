@@ -144,6 +144,20 @@ def main(argv=None):
     p.add_argument("--maxiter", type=int, default=100)
     p.add_argument("--out", default="unbalance_varcom")
 
+    p = sub.add_parser("remmax", help="one-call pipeline: GRM -> REML -> "
+                       "scan -> annotate (stage-resumable)")
+    p.add_argument("pheno")
+    p.add_argument("bed_prefix")
+    p.add_argument("--out", default="remmax")
+    p.add_argument("--model", default="a_axa",
+                   choices=["a_axa", "a_d_axa", "a_d_axa_axd_dxd"])
+    p.add_argument("--scan", default="epiAA_approx")
+    p.add_argument("--p-cut", type=float, default=1.0e-5)
+    p.add_argument("--num-random-pair", type=int, default=100000)
+    p.add_argument("--dis", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-resume", action="store_true")
+
     p = sub.add_parser("bench", help="run the headline benchmark")
 
     args = parser.parse_args(argv)
@@ -230,6 +244,13 @@ def main(argv=None):
         unbalance_varcom(args.data_file, args.id, args.tpoint, args.trait,
                          args.kin_inv_file, maxiter=args.maxiter,
                          prefix_outfile=args.out)
+    elif args.cmd == "remmax":
+        from gmat_tpu.pipeline.remmax import remmax
+
+        remmax(args.pheno, args.bed_prefix, out_prefix=args.out,
+               model=args.model, scan=args.scan, p_cut=args.p_cut,
+               num_random_pair=args.num_random_pair, dis=args.dis,
+               seed=args.seed, resume=not args.no_resume)
     elif args.cmd == "bench":
         import runpy
         from pathlib import Path

@@ -208,3 +208,14 @@ def test_cli_longwas_unbalance_varcom(long_kin):
                  "--out", out]) == 0
     disk = np.loadtxt(out + ".var", skiprows=1, usecols=(3,))
     assert np.all(np.isfinite(disk)) and len(disk) > 3
+
+
+def test_cli_remmax_pipeline(work):
+    tmp, prefix, pheno = work
+    out = str(tmp / "remmax_cli")
+    assert main(["remmax", pheno, prefix, "--out", out, "--p-cut", "1e-4",
+                 "--num-random-pair", "5000"]) == 0
+    res = pd.read_csv(out + ".scan", sep=" ")
+    assert len(res) > 0
+    assert (tmp / "remmax_cli.var").exists()
+    assert (tmp / "remmax_cli.scan.anno").exists()

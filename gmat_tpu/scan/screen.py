@@ -65,7 +65,8 @@ def _screen_slack() -> float:
 
 
 def _screen_tile_body(tstart, anchors_padded, bins_anchor, a_gath, b_mat,
-                      t2_p, chunk_counts, mask_mode, tile, cap, k_row=0):
+                      t2_p, chunk_counts, mask_mode, tile, cap, k_row=0,
+                      flat_cut=False):
     """One anchor tile vs all partners -> compacted hits.
 
     a_gath: (n, n_tiles*TA) all anchor columns pre-scaled by pymat (sliced
@@ -111,13 +112,20 @@ def _screen_tile_body(tstart, anchors_padded, bins_anchor, a_gath, b_mat,
         pstart = pc * chunk
         b = jax.lax.dynamic_slice_in_dim(b_mat, pstart, chunk, axis=1)
         s = a_scaled.T @ b  # (TA, chunk) — the MXU GEMM
-        cuts = cut_onehot @ jax.lax.dynamic_slice_in_dim(t2_p, pstart, chunk,
-                                                         axis=1)
+        if flat_cut:
+            # non-MAF screens use one global threshold (the flagship approx
+            # path): skip the one-hot matmuls and the (TA, chunk) cut panel
+            cuts = t2_p[0, 0]
+        else:
+            cuts = cut_onehot @ jax.lax.dynamic_slice_in_dim(
+                t2_p, pstart, chunk, axis=1)
         j_ids = (pstart + jt)[None, :]
         if mask_mode == "tri":
             valid = j_ids > a_idx[:, None]
         else:
             valid = j_ids != a_idx[:, None]
+        if flat_cut:
+            valid &= j_ids < jnp.int32(m)  # pad columns (see +inf pad below)
         return s, j_ids, (jnp.abs(s) > cuts) & valid
 
     def work_scatter(carry, pc):
@@ -184,9 +192,11 @@ def _screen_tile_body(tstart, anchors_padded, bins_anchor, a_gath, b_mat,
     return count, buf_i[:cap], buf_j[:cap], buf_e[:cap], max_rc
 
 
-@partial(jax.jit, static_argnames=("mask_mode", "tile", "cap", "k_row"))
+@partial(jax.jit, static_argnames=("mask_mode", "tile", "cap", "k_row",
+                                   "flat_cut"))
 def _screen_tiles_batch(tstarts, chunk_counts, anchors_padded, bins_anchor,
-                        a_gath, b_mat, t2_p, mask_mode, tile, cap, k_row=0):
+                        a_gath, b_mat, t2_p, mask_mode, tile, cap, k_row=0,
+                        flat_cut=False):
     """Phase 2, ONE dispatch for a batch of hot anchor tiles: lax.map of
     `_screen_tile_body` over the (K,) tile starts (chunk_counts: (K,
     p_tiles) phase-1 counts).  Returns per-tile (counts (K,), idx0 (K, cap),
@@ -196,14 +206,14 @@ def _screen_tiles_batch(tstarts, chunk_counts, anchors_padded, bins_anchor,
         tstart, cc = args
         return _screen_tile_body(tstart, anchors_padded, bins_anchor, a_gath,
                                  b_mat, t2_p, cc, mask_mode, tile, cap,
-                                 k_row)
+                                 k_row, flat_cut)
 
     return jax.lax.map(one, (tstarts, chunk_counts))
 
 
 def _screen_tiles_mesh(mesh, tstarts, chunk_counts, anchors_padded,
                        bins_anchor, a_gath, b_mat, t2_p, mask_mode, tile,
-                       cap, k_row=0):
+                       cap, k_row=0, flat_cut=False):
     """Phase 2 over a device mesh: the hot-tile list is sharded over the
     mesh axis (anchors/partners/thresholds replicated); each device runs the
     SAME per-tile math as the single-device path, so the merged output is
@@ -225,7 +235,7 @@ def _screen_tiles_mesh(mesh, tstarts, chunk_counts, anchors_padded,
         def one(args):
             tstart, cc_row = args
             return _screen_tile_body(tstart, ap, ba, ag, bm, tp, cc_row,
-                                     mask_mode, tile, cap, k_row)
+                                     mask_mode, tile, cap, k_row, flat_cut)
 
         return jax.lax.map(one, (ts, cc))
 
@@ -283,9 +293,9 @@ def _tile_worklist(anchors: np.ndarray, m: int, mask_mode: str,
     return np.asarray(work, dtype=np.int32).reshape(-1, 2)
 
 
-@partial(jax.jit, static_argnames=("mask_mode", "tile"))
+@partial(jax.jit, static_argnames=("mask_mode", "tile", "flat_cut"))
 def _screen_counts_all(anchors_padded, a_mat, b_mat, py, bins_a, bins_b,
-                       table, worklist, mask_mode, tile):
+                       table, worklist, mask_mode, tile, flat_cut=False):
     """Phase 1: hit counts for every (anchor-tile, partner-tile) pair of the
     work list in ONE dispatch.
 
@@ -326,21 +336,28 @@ def _screen_counts_all(anchors_padded, a_mat, b_mat, py, bins_a, bins_b,
         pstart = pt * tile
         b = jax.lax.dynamic_slice_in_dim(b_mat, pstart, tile, axis=1)
         s = a.T @ b
-        cuts = jax.nn.one_hot(ba, 11, dtype=dtype) @ jax.lax.dynamic_slice_in_dim(
-            t2_p, pstart, tile, axis=1
-        )
+        if flat_cut:
+            # one global threshold (non-MAF screens): scalar compare, no
+            # one-hot matmuls, no (TA, tile) cut panel
+            cuts = t2_p[0, 0]
+        else:
+            cuts = jax.nn.one_hot(ba, 11, dtype=dtype) @ (
+                jax.lax.dynamic_slice_in_dim(t2_p, pstart, tile, axis=1))
         j_ids = (pstart + jt)[None, :]
         if mask_mode == "tri":
             valid = j_ids > ids[:, None]
         else:
             valid = j_ids != ids[:, None]
+        if flat_cut:
+            valid &= j_ids < jnp.int32(m)  # padded partner columns
         return jnp.sum((jnp.abs(s) > cuts) & valid)
 
     return jax.lax.map(pair_fn, worklist)
 
 
 def _screen_counts_mesh(mesh, anchors_padded, a_mat, b_mat, py, bins_a,
-                        bins_b, table, worklist, mask_mode, tile):
+                        bins_b, table, worklist, mask_mode, tile,
+                        flat_cut=False):
     """Phase 1 over a device mesh: the (anchor-tile, partner-tile) worklist
     is sharded over the mesh axis, genotype codings/pymat/thresholds
     replicated — each device computes the SAME per-pair counts as
@@ -380,14 +397,19 @@ def _screen_counts_mesh(mesh, anchors_padded, a_mat, b_mat, py, bins_a,
             pstart = pt * tile
             b = jax.lax.dynamic_slice_in_dim(bm, pstart, tile, axis=1)
             s = a.T @ b
-            cuts = jax.nn.one_hot(ba, 11, dtype=dtype) @ (
-                jax.lax.dynamic_slice_in_dim(tp, pstart, tile, axis=1)
-            )
+            if flat_cut:
+                cuts = tp[0, 0]
+            else:
+                cuts = jax.nn.one_hot(ba, 11, dtype=dtype) @ (
+                    jax.lax.dynamic_slice_in_dim(tp, pstart, tile, axis=1)
+                )
             j_ids = (pstart + jt)[None, :]
             if mask_mode == "tri":
                 valid = j_ids > ids[:, None]
             else:
                 valid = j_ids != ids[:, None]
+            if flat_cut:
+                valid &= j_ids < jnp.int32(m)
             return jnp.sum((jnp.abs(s) > cuts) & valid)
 
         return jax.lax.map(pair_fn, wl)
@@ -431,6 +453,10 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
     bins_a_d = jnp.asarray(bins_a, dtype=jnp.int32)
     bins_b_d = jnp.asarray(bins_b, dtype=jnp.int32)
     table = np.asarray(table) * (1.0 - _screen_slack())
+    # non-MAF screens use ONE global threshold: the per-pair one-hot
+    # threshold matmuls and cut panels are dead weight there (the flagship
+    # approx pipelines all take this path)
+    flat_cut = bool(np.ptp(table) == 0.0)
     table_d = jnp.asarray(table, dtype=a_mat.dtype)
     work = _tile_worklist(padded_all, b_mat.shape[1], mask_mode, tile)
     ndev = int(mesh.devices.size) if mesh is not None else 1
@@ -440,13 +466,13 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
             _screen_counts_mesh(mesh, jnp.asarray(padded_all), a_mat, b_mat,
                                 pymat, bins_a_d, bins_b_d, table_d,
                                 jnp.asarray(_pad_rows_to(work, ndev)),
-                                mask_mode, tile)
+                                mask_mode, tile, flat_cut)
         )[: len(work)]
     else:
         pair_counts = np.asarray(
             _screen_counts_all(jnp.asarray(padded_all), a_mat, b_mat, pymat,
                                bins_a_d, bins_b_d, table_d, jnp.asarray(work),
-                               mask_mode, tile)
+                               mask_mode, tile, flat_cut)
         )
     # per-phase wall time + throughput: the reference's scan-timing log
     # contract (remma_epiAA_eff.py:81-83 "Running time: Clock time ...")
@@ -502,13 +528,13 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
                         mesh, jnp.asarray(_pad_rows_to(tstarts, ndev)),
                         jnp.asarray(_pad_rows_to(ccs, ndev)),
                         padded_d, bins_anchor_d, a_gath_all, b_mat, t2_p_d,
-                        mask_mode, tile, int(cap), k_row)
+                        mask_mode, tile, int(cap), k_row, flat_cut)
                 else:
                     out = _screen_tiles_batch(
                         jnp.asarray(tstarts), jnp.asarray(ccs),
                         padded_d, bins_anchor_d,
                         a_gath_all, b_mat, t2_p_d, mask_mode, tile,
-                        int(cap), k_row)
+                        int(cap), k_row, flat_cut)
                 cnts, his, hjs, hes, max_rcs = (np.asarray(a) for a in out)
                 mx = int(max_rcs.max()) if k_row else 0
                 if not k_row or mx <= k_row:

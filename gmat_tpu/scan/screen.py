@@ -509,6 +509,11 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
         # extraction count (they additionally include padded-partner hits
         # for negative keep-all cuts), so `cap` never overflows
         caps = np.maximum(4096, 1 << np.int64(np.ceil(np.log2(counts[hot]))))
+        # collapse the capacity buckets into one dispatch when the padded
+        # hit transfer stays small — each dispatch costs a full round trip
+        # on tunneled backends (measured ~300 ms each at yeast scale)
+        if len(hot) * int(caps.max()) * 12 < 64 << 20:
+            caps[:] = caps.max()
         chunk_ = min(tile, b_mat.shape[1])
         mode = os.environ.get("GMAT_TPU_EXTRACT", "topk")
         for cap in np.unique(caps):

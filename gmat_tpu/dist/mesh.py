@@ -124,7 +124,9 @@ def sharded_screen_counts(mat: np.ndarray, pymat: np.ndarray, cut: float,
 
     cut = float(cut) * (1.0 - _screen_slack())
 
-    @jax.jit
+    # replicated output: on a multi-process cluster a sharded result spans
+    # non-addressable devices and the host could not fetch it
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
     @partial(
         jax.shard_map,
         mesh=mesh,

@@ -126,11 +126,13 @@ def _anchor_tiles_mesh(mesh, tstarts, anchors_padded, avalid, mat0, mat1,
     the mesh axis, genotype codings and pymat/pvpmat replicated.  Each
     device runs the SAME per-tile math as the single-device path, so the
     merged output is byte-identical to a single-device run."""
+    from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
     from gmat_tpu.dist.mesh import AXIS
 
-    @jax.jit
+    # replicated outputs: multi-process hosts cannot fetch sharded arrays
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(AXIS), P(None), P(None), P(None, None), P(None, None),
@@ -380,11 +382,12 @@ def _pair_kernel_mesh(mesh, cols0, cols1, mat0, mat1, pymat, pvpmat):
     """Pair test with the pair list sharded over the device mesh (codings
     and pymat/pvpmat replicated); same math as `_pair_kernel`, byte-identical
     output.  The caller pads the pair list to a mesh-size multiple."""
+    from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
     from gmat_tpu.dist.mesh import AXIS
 
-    @jax.jit
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(None, None), P(None, None), P(None),

@@ -219,11 +219,13 @@ def _screen_tiles_mesh(mesh, tstarts, chunk_counts, anchors_padded,
     SAME per-tile math as the single-device path, so the merged output is
     byte-identical to a single-device run.  `tstarts` must be padded to a
     multiple of the mesh size (the driver dedups repeated tiles)."""
+    from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
     from gmat_tpu.dist.mesh import AXIS
 
-    @jax.jit
+    # replicated outputs: multi-process hosts cannot fetch sharded arrays
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS, None), P(None), P(None), P(None, None),
@@ -365,6 +367,7 @@ def _screen_counts_mesh(mesh, anchors_padded, a_mat, b_mat, py, bins_a,
     final output) is byte-identical to single-device.  Worklist rows must be
     padded to a multiple of the mesh size (duplicated rows; the caller
     truncates the returned counts)."""
+    from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
     from gmat_tpu.dist.mesh import AXIS
@@ -381,7 +384,7 @@ def _screen_counts_mesh(mesh, anchors_padded, a_mat, b_mat, py, bins_a,
     t2_p = t2 @ jax.nn.one_hot(bins_b, 11, dtype=dtype).T  # (11, m_pad)
     jt = jnp.arange(tile, dtype=jnp.int32)
 
-    @jax.jit
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(AXIS, None), P(None), P(None, None), P(None),
@@ -670,8 +673,12 @@ def _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     eff = np.concatenate([r[2] for r in res])
     with open(out_file, "w") as f:
         f.write("snp_0 snp_1 eff\n")
-        for i, j, e in zip(idx0, idx1, eff):
-            f.write(f"{i} {j} {e:g}\n")
+        # stream in array chunks: a per-row Python loop is quadratically
+        # painful at keep-all yeast scale (hundreds of millions of rows)
+        for s in range(0, len(idx0), 1 << 20):
+            np.savetxt(f, np.column_stack(
+                [idx0[s:s + (1 << 20)], idx1[s:s + (1 << 20)],
+                 eff[s:s + (1 << 20)]]), fmt="%d %d %g")
     return idx0, idx1, eff
 
 
@@ -832,8 +839,11 @@ def _remma_epi_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     rp = out_file + ".random_pair"
     _random_pair_fn(kind, num_snp, rp, num_random_pair, seed)
     pair_fn = _pair_fn(kind)
+    # calibration AND exact re-test ride the mesh too: on a real pod the
+    # 100k-pair calibration and the survivor re-test would otherwise
+    # serialize onto one chip while only the screen stage shards
     pair_fn(pheno_file, bed_prefix, gmat_lst, var_com, snp_pair_file=rp,
-            p_cut=1.1, out_file=out_file + ".random")
+            p_cut=1.1, out_file=out_file + ".random", mesh=mesh)
     res_df = pd.read_csv(out_file + ".random", header=0, sep=r"\s+")
     var_median = float(np.median(res_df["var"]))
     os.remove(rp)
@@ -845,7 +855,7 @@ def _remma_epi_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     logger.info("Exact re-test of survivors")
     pair_fn(pheno_file, bed_prefix, gmat_lst, var_com,
             snp_pair_file=out_file + ".approx_p", p_cut=1.1,
-            out_file=out_file + ".exact_p")
+            out_file=out_file + ".exact_p", mesh=mesh)
     _merge_approx_exact(out_file + ".approx_p", out_file + ".exact_p", out_file)
     os.remove(out_file + ".approx_p")
     os.remove(out_file + ".exact_p")
@@ -863,7 +873,7 @@ def _remma_epi_maf_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     _random_pair_fn(kind, num_snp, rp, num_random_pair, seed)
     pair_fn = _pair_fn(kind)
     pair_fn(pheno_file, bed_prefix, gmat_lst, var_com, snp_pair_file=rp,
-            p_cut=1.1, out_file=out_file + ".random")
+            p_cut=1.1, out_file=out_file + ".random", mesh=mesh)
     os.remove(rp)
     geno, _, _ = prepare_genotypes(bed_prefix)
     # bin variables per scan kind (reference remma_epi{AA,AD,DD}_maf_approx):
@@ -921,7 +931,7 @@ def _remma_epi_maf_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                    out_file=out_file + ".approx_p", mesh=mesh, **maf_kwargs)
     pair_fn(pheno_file, bed_prefix, gmat_lst, var_com,
             snp_pair_file=out_file + ".approx_p", p_cut=1.1,
-            out_file=out_file + ".exact_p")
+            out_file=out_file + ".exact_p", mesh=mesh)
     _merge_approx_exact(out_file + ".approx_p", out_file + ".exact_p", out_file)
     os.remove(out_file + ".approx_p")
     os.remove(out_file + ".exact_p")

@@ -5,6 +5,10 @@ Usage: python multihost_worker.py <process_id> <num_processes> <port> <out>
 """
 import os
 import sys
+from pathlib import Path
+
+# hermetic: runnable from a bare checkout without `pip install -e .`
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
@@ -22,7 +26,7 @@ def main():
     pid, nproc, port, out = (int(sys.argv[1]), int(sys.argv[2]),
                              int(sys.argv[3]), sys.argv[4])
     from gmat_tpu.dist import initialize_multihost
-    from gmat_tpu.dist.mesh import sharded_additive_grm
+    from gmat_tpu.dist.mesh import sharded_additive_grm, sharded_screen_hits
 
     mesh = initialize_multihost(
         coordinator_address=f"localhost:{port}",
@@ -33,9 +37,17 @@ def main():
     rng = np.random.default_rng(7)  # same data on every process
     geno = rng.choice([0.0, 1.0, 2.0], size=(40, 64))
     kin = np.asarray(sharded_additive_grm(geno, mesh))  # replicated output
+
+    # a sharded SCREEN on the multi-process mesh (not just GRM): the anchor
+    # worklist spreads over both processes' devices; output is replicated
+    # and must be byte-identical to the single-process screen
+    mat = np.asarray(geno - geno.mean(axis=0), dtype=np.float32)
+    py = (rng.standard_normal(40) * 0.1).astype(np.float32)
+    hits_i, hits_j, hits_e = sharded_screen_hits(mat, py, 1.0, mesh, tile=16)
+
     if pid == 0:
-        np.savez(out, kin=kin, geno=geno,
-                 ndev=int(jax.device_count()))
+        np.savez(out, kin=kin, geno=geno, ndev=int(jax.device_count()),
+                 mat=mat, py=py, hits_i=hits_i, hits_j=hits_j, hits_e=hits_e)
     print(f"proc {pid} done", flush=True)
 
 

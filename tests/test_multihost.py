@@ -44,3 +44,16 @@ def test_two_process_cluster_grm(tmp_path):
     assert got["ndev"] == 4  # 2 virtual devices x 2 processes
     want = np.asarray(additive_grm(jnp.asarray(got["geno"])))
     np.testing.assert_allclose(got["kin"], want, rtol=1e-10, atol=1e-12)
+
+    # the sharded screen run on the 2-process mesh must match a local
+    # single-process screen byte-for-byte (SURVEY §4 item 3: scans, not just
+    # GRM, on a real jax.distributed cluster)
+    from gmat_tpu.dist.mesh import make_mesh, sharded_screen_hits
+
+    mesh1 = make_mesh(1)
+    li, lj, le = sharded_screen_hits(got["mat"], got["py"], 1.0, mesh1,
+                                     tile=16)
+    assert len(li) > 0, "screen cut produced no hits; test is vacuous"
+    np.testing.assert_array_equal(got["hits_i"], li)
+    np.testing.assert_array_equal(got["hits_j"], lj)
+    np.testing.assert_array_equal(got["hits_e"], le)

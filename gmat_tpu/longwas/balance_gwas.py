@@ -320,12 +320,15 @@ def balance_longwas_trans(data_file, id_col, tpoint, trait, kin_file,
     cov_per = _unpack_cov_df(var_com, 2)
     res_var = float(var_com["var_val"].to_numpy()[-1])
     snp_mat, bim, snp_lst, num_id_full = _load_snp(model, bed_prefix, snp_lst)
-    if _snp_shuffle is not None:
-        snp_mat = snp_mat[_snp_shuffle, :]
     # trans uses CENTERED (-2p) then eigen-rotated dosages (reference
     # balance_longwas_trans.py:181-184); the fixed test uses raw dosages
     freq = snp_mat.sum(axis=0) / (2.0 * num_id_full)
     snp_mat = model.eigvecs.T @ (snp_mat - 2.0 * freq[None, :])
+    if _snp_shuffle is not None:
+        # the reference permutes the EIGEN-ROTATED rows, not the raw dosage
+        # rows (balance_longwas_trans_permutation.py:187,225) — unlike the
+        # fixed twin, which shuffles before its per-SNP rotation
+        snp_mat = snp_mat[_snp_shuffle, :]
     leg_tpoint_mat = leg_basis(model.tpoint, forder)
 
     @jax.jit
@@ -399,6 +402,13 @@ def balance_longwas_trans(data_file, id_col, tpoint, trait, kin_file,
 
 def _permutation_driver(test_fn, permutation_lst, seed, prefix_outfile,
                         n_id, **kwargs):
+    """Seeded permutation replicates (the reference's unseeded
+    random.shuffle is a documented deviation).  The perm vector is shuffled
+    cumulatively, matching the reference's in-place re-shuffling of the SNP
+    matrix (balance_longwas_fixed_permutation.py:195-198); each replicate
+    file is `<prefix>.<rep>` (reference :251)."""
+    import os
+
     if permutation_lst is None:
         permutation_lst = range(1000)
     rng = np.random.default_rng(seed)
@@ -408,6 +418,9 @@ def _permutation_driver(test_fn, permutation_lst, seed, prefix_outfile,
         rng.shuffle(perm)
         res = test_fn(_snp_shuffle=perm.copy(),
                       prefix_outfile=f"{prefix_outfile}.{rep}", **kwargs)
+        # the inner test writes <prefix>.<rep>.res; the reference's
+        # per-replicate contract is <prefix>.<rep> with no suffix
+        os.replace(f"{prefix_outfile}.{rep}.res", f"{prefix_outfile}.{rep}")
         results.append(res)
     return results
 

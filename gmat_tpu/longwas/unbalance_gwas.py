@@ -247,6 +247,11 @@ def unbalance_longwas_trans(data_file, id_col, tpoint, trait, bed_prefix,
 
 
 def _perm_driver(fn, permutation_lst, seed, prefix_outfile, n_id, kwargs):
+    """Seeded permutation replicates; cumulative shuffle and `<prefix>.<rep>`
+    per-replicate files as in the reference
+    (unbalance_longwas_fixed_permutation.py:295-297,340)."""
+    import os
+
     if permutation_lst is None:
         permutation_lst = range(1000)
     rng = np.random.default_rng(seed)
@@ -256,6 +261,7 @@ def _perm_driver(fn, permutation_lst, seed, prefix_outfile, n_id, kwargs):
         rng.shuffle(perm)
         out.append(fn(_snp_shuffle=perm.copy(),
                       prefix_outfile=f"{prefix_outfile}.{rep}", **kwargs))
+        os.replace(f"{prefix_outfile}.{rep}.res", f"{prefix_outfile}.{rep}")
     return out
 
 

@@ -59,6 +59,24 @@ def test_trans_golden(setup, tmp_path):
                                atol=1e-12)
 
 
+@pytest.mark.slow
+def test_trans_full_panel_smoke(setup, tmp_path):
+    """All 11,833 SNPs through the trans fast path once: exercises real
+    snp_batch edges that the 30-SNP goldens never hit (VERDICT round-2
+    weak #8).  No golden — shape + finiteness only."""
+    kin_file, var_df, _ = setup
+    res = balance_longwas_trans(
+        str(ML / "phe.balance.txt"), "ID", TPOINT, TRAIT, kin_file,
+        str(ML / "plink"), var_df,
+        prefix_outfile=str(tmp_path / "btrans_full"),
+    )
+    n_snp = sum(1 for _ in open(ML / "plink.bim"))
+    assert len(res) == n_snp
+    for col in ("eff0", "eff3", "chi_val", "p_val", "p_min", "p_accum"):
+        assert np.isfinite(res[col]).all(), col
+    assert (res["p_val"] >= 0).all() and (res["p_val"] <= 1).all()
+
+
 def test_fixed_golden(setup, tmp_path):
     kin_file, var_df, _ = setup
     res = balance_longwas_fixed(

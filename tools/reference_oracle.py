@@ -132,4 +132,16 @@ def load_reference():
     ns.unbalance_longwas_trans = importlib.import_module(
         "gmat.longwas.unbalance.unbalance_longwas_trans"
     )
+    ns.balance_longwas_fixed_permutation = importlib.import_module(
+        "gmat.longwas.balance.balance_longwas_fixed_permutation"
+    )
+    ns.balance_longwas_trans_permutation = importlib.import_module(
+        "gmat.longwas.balance.balance_longwas_trans_permutation"
+    )
+    ns.unbalance_longwas_fixed_permutation = importlib.import_module(
+        "gmat.longwas.unbalance.unbalance_longwas_fixed_permutation"
+    )
+    ns.unbalance_longwas_trans_permutation = importlib.import_module(
+        "gmat.longwas.unbalance.unbalance_longwas_trans_permutation"
+    )
     return ns

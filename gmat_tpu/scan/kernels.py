@@ -16,13 +16,66 @@ traffic drops from O(m^2) to O((m/TILE)^2).
 """
 from __future__ import annotations
 
+import logging
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+logger = logging.getLogger(__name__)
+
 TILE = 512  # MXU-aligned tile edge (multiple of 128)
+
+_PROBE_CACHE: bool | None = None
+
+
+def mosaic_probe() -> bool:
+    """Cached try-compile+run of a trivial Mosaic kernel on the default
+    backend.  On this machine's tunneled TPU the remote-compile service
+    rejects Mosaic programs (CLAUDE.md); when that env is fixed this probe
+    starts returning True with zero code changes and the screen/scan
+    engines switch over (VERDICT round-2 item 5)."""
+    global _PROBE_CACHE
+    if _PROBE_CACHE is not None:
+        return _PROBE_CACHE
+    try:
+        if jax.default_backend() != "tpu":
+            _PROBE_CACHE = False
+            return False
+        from jax.experimental import pallas as pl
+
+        def k(x_ref, o_ref):
+            o_ref[:, :] = x_ref[:, :] + 1.0
+
+        out = pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)
+        )(jnp.zeros((8, 128), jnp.float32))
+        _PROBE_CACHE = bool(np.asarray(out)[0, 0] == 1.0)
+    except Exception as exc:  # remote-compile 500, Mosaic reject, ...
+        logger.info("Mosaic capability probe failed: %r", exc)
+        _PROBE_CACHE = False
+    logger.info("Mosaic capability probe: %s",
+                "available" if _PROBE_CACHE else "unavailable")
+    return _PROBE_CACHE
+
+
+def engine_choice() -> str:
+    """Which screen/scan engine to run: 'xla', 'pallas', or
+    'pallas-interpret'.
+
+    GMAT_TPU_ENGINE=xla|pallas|auto overrides; 'pallas' on a non-TPU
+    backend selects interpret mode (the test hook for the driver wiring).
+    Default 'auto' probes Mosaic once per process and falls back to the
+    XLA engine exactly as before when the probe fails."""
+    mode = os.environ.get("GMAT_TPU_ENGINE", "auto")
+    if mode == "xla":
+        return "xla"
+    if mode == "pallas":
+        return "pallas" if jax.default_backend() == "tpu" \
+            else "pallas-interpret"
+    return "pallas" if mosaic_probe() else "xla"
 
 
 def _count_kernel(cut_ref, a_ref, b_ref, py_ref, out_ref):

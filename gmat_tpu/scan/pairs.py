@@ -189,6 +189,16 @@ def _scan_anchors_impl(mat0, mat1, pieces, snp_lst_0, num_snp, triangular,
     np.savetxt(out_file, [_HEADER_SCAN], fmt="%s")
     anchors = np.asarray(list(snp_lst_0), dtype=np.int32)
     chi_crit = chi2_isf(p_cut, 1) if p_cut < 1.0 else -1.0
+    # Pallas engine for the full triangular scan (fused eff + pair-variance
+    # GEMM + in-VMEM compaction) when the Mosaic probe passes
+    from gmat_tpu.scan import kernels as _pk
+
+    choice = _pk.engine_choice()
+    if (choice != "xla" and mesh is None and triangular and chi_crit > 0
+            and np.array_equal(anchors, np.arange(num_snp - 1))):
+        return _scan_anchors_pallas(
+            mat0, mat1, pieces, num_snp, chi_crit, out_file,
+            interpret=(choice == "pallas-interpret"))
     ndev = int(mesh.devices.size) if mesh is not None else 1
     # shrink the tile when the anchor list is small so padding anchors
     # (duplicates of the last anchor, masked from the output but not from
@@ -274,6 +284,35 @@ def _scan_anchors_impl(mat0, mat1, pieces, snp_lst_0, num_snp, triangular,
     n = mat0.shape[0]
     log_phase("exact_scan", float(n_tiles_pad * tile)
               * (2.0 * n * n + 4.0 * n) * mat1.shape[1], dt, items=n_pairs)
+    return 0
+
+
+def _scan_anchors_pallas(mat0, mat1, pieces, num_snp, chi_crit, out_file,
+                         interpret=False):
+    """Exact scan via the fused Pallas kernel (scan/kernels.py
+    pallas_exact_hits): same `snp_0 snp_1 eff chi p_val` contract and
+    (i, j)-ascending row order as the XLA engine; f32 compute."""
+    import time
+
+    from gmat_tpu.scan.kernels import pallas_exact_hits
+
+    t0 = time.perf_counter()
+    i_sel, j_sel, eff, var, chi = pallas_exact_hits(
+        mat0, mat1, np.asarray(pieces.pymat, np.float32),
+        np.asarray(pieces.pvpmat, np.float32), float(chi_crit), "tri",
+        interpret=interpret)
+    with open(out_file, "a") as fout:
+        pd.DataFrame({
+            0: i_sel, 1: j_sel, 2: eff, 3: chi, 4: _chi2_sf_host(chi),
+        }).to_csv(fout, sep=" ", header=False, index=False)
+    dt = time.perf_counter() - t0
+    n_pairs = num_snp * (num_snp - 1) // 2
+    logger.info("Exact scan (pallas engine): %d tests, %d hits in %.3f s "
+                "(%.3g pairs/s)", n_pairs, len(i_sel), dt,
+                n_pairs / max(dt, 1e-9))
+    n = mat0.shape[0]
+    log_phase("exact_scan", float(n_pairs) * (2.0 * n * n + 4.0 * n), dt,
+              items=n_pairs)
     return 0
 
 

@@ -507,6 +507,24 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
     # approx pipelines all take this path)
     flat_cut = bool(np.ptp(table) == 0.0)
     table_d = jnp.asarray(table, dtype=a_mat.dtype)
+    # Pallas engine: the flagship symmetric flat-cut full scans switch to
+    # the fused Mosaic kernels when the capability probe passes
+    # (GMAT_TPU_ENGINE overrides; kernels.engine_choice)
+    from gmat_tpu.scan import kernels as _pk
+
+    m_part = b_mat.shape[1]
+    choice = _pk.engine_choice()
+    if (choice != "xla" and mesh is None and mask_mode == "tri"
+            and not flip_output and a_mat is b_mat and flat_cut
+            and float(table.ravel()[0]) > 0
+            and np.array_equal(anchors, np.arange(m_part - 1))):
+        cut = float(table.ravel()[0])
+        i0, i1, eff = _pk.pallas_screen(
+            a_mat, pymat, cut, interpret=(choice == "pallas-interpret"))
+        order = np.lexsort((i1, i0))
+        logger.info("Screen engine: %s, %d hits", choice, len(i0))
+        return (i0[order].astype(np.int64), i1[order].astype(np.int64),
+                eff[order])
     work = _tile_worklist(padded_all, b_mat.shape[1], mask_mode, tile)
     ndev = int(mesh.devices.size) if mesh is not None else 1
     clock_t0 = time.perf_counter()

@@ -28,6 +28,16 @@ logger = logging.getLogger(__name__)
 
 TILE = 512  # MXU-aligned tile edge (multiple of 128)
 
+
+def _x32():
+    """Trace pallas_call under x32: the package-global x64 mode leaks
+    int64 into the Mosaic lowering (the kernel's MLIR main ends with
+    `func.return (i64)`), which this terminal's Mosaic cannot legalize —
+    measured on-chip: the same kernel compiles and runs with x64 disabled.
+    All kernel dtypes are pinned explicitly, so results are unchanged."""
+    return jax.enable_x64(False)
+
+
 _PROBE_CACHE: bool | None = None
 
 
@@ -44,15 +54,24 @@ def mosaic_probe() -> bool:
         if jax.default_backend() != "tpu":
             _PROBE_CACHE = False
             return False
-        from jax.experimental import pallas as pl
-
-        def k(x_ref, o_ref):
-            o_ref[:, :] = x_ref[:, :] + 1.0
-
-        out = pl.pallas_call(
-            k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)
-        )(jnp.zeros((8, 128), jnp.float32))
-        _PROBE_CACHE = bool(np.asarray(out)[0, 0] == 1.0)
+        # probe with the REAL count kernel on tiny shapes, checked against
+        # a known count — a trivial add-one kernel can legalize on envs
+        # where the production kernels still fail (observed: 'func.return'
+        # legalization error behind a passing trivial probe)
+        rng = np.random.default_rng(0)
+        mat_np = rng.standard_normal((8, 256)).astype(np.float32)
+        py_np = rng.standard_normal(8).astype(np.float32)
+        eff = (mat_np * py_np[:, None]).T @ mat_np
+        cut = float(np.median(np.abs(eff)))  # positive: zero-padding safe
+        want = int(np.sum((np.abs(eff) > cut)
+                          & (np.arange(256)[None, :] > np.arange(256)[:, None])))
+        counts = np.asarray(pallas_screen_counts(
+            jnp.asarray(mat_np), jnp.asarray(py_np), cut))
+        # bf16-compute GEMM on TPU: allow a small borderline band
+        _PROBE_CACHE = want > 0 and abs(int(counts.sum()) - want) <= want // 50
+        if not _PROBE_CACHE:
+            logger.info("Mosaic probe compiled but miscounted: %d != %d",
+                        int(counts.sum()), want)
     except Exception as exc:  # remote-compile 500, Mosaic reject, ...
         logger.info("Mosaic capability probe failed: %r", exc)
         _PROBE_CACHE = False
@@ -61,21 +80,35 @@ def mosaic_probe() -> bool:
     return _PROBE_CACHE
 
 
+def disable_pallas() -> None:
+    """Poison the probe cache after a runtime Mosaic failure so the rest of
+    the process stays on the XLA engine."""
+    global _PROBE_CACHE
+    _PROBE_CACHE = False
+
+
 def engine_choice() -> str:
     """Which screen/scan engine to run: 'xla', 'pallas', or
     'pallas-interpret'.
 
-    GMAT_TPU_ENGINE=xla|pallas|auto overrides; 'pallas' on a non-TPU
-    backend selects interpret mode (the test hook for the driver wiring).
-    Default 'auto' probes Mosaic once per process and falls back to the
-    XLA engine exactly as before when the probe fails."""
+    GMAT_TPU_ENGINE=xla|pallas|auto; 'pallas' on a non-TPU backend selects
+    interpret mode (the test hook for the driver wiring); 'pallas' on TPU
+    probes Mosaic once (falling back to XLA if the probe fails).
+
+    Default 'auto' = XLA, by measurement, not capability: round 3 FIXED the
+    Mosaic env (trace under x32, lane-legal blocks — these kernels now
+    compile AND run on this chip, hit-exact vs a numpy oracle), then
+    benchmarked both engines.  Mosaic's dot tops out at ~75 TF/s here and
+    its f32 matmul is single-pass bf16 (~1%% error — below the exact scan's
+    golden-parity budget), while the XLA engine measures 114 TF/s on the
+    screen GEMM and 78 TF/s on the exact scan at bf16x3 accuracy.  The
+    probe is also a ~60 s remote compile this path avoids."""
     mode = os.environ.get("GMAT_TPU_ENGINE", "auto")
-    if mode == "xla":
-        return "xla"
     if mode == "pallas":
-        return "pallas" if jax.default_backend() == "tpu" \
-            else "pallas-interpret"
-    return "pallas" if mosaic_probe() else "xla"
+        if jax.default_backend() != "tpu":
+            return "pallas-interpret"
+        return "pallas" if mosaic_probe() else "xla"
+    return "xla"
 
 
 def _count_kernel(cut_ref, a_ref, b_ref, py_ref, out_ref):
@@ -135,7 +168,7 @@ def pallas_screen_counts(mat, py, cut, interpret: bool = False):
         mat = jnp.pad(mat, ((0, 0), (0, m_pad - m)))
     n_tiles = m_pad // TILE
     grid = (n_tiles, n_tiles)
-    out = pl.pallas_call(
+    call = pl.pallas_call(
         _count_kernel,
         grid=grid,
         in_specs=[
@@ -152,81 +185,99 @@ def pallas_screen_counts(mat, py, cut, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((n_tiles * 8, n_tiles * 128),
                                        jnp.int32),
         interpret=interpret,
-    )(jnp.asarray([cut], dtype=jnp.float32),
-      mat.astype(jnp.float32),
-      mat.astype(jnp.float32),
-      py.astype(jnp.float32)[:, None])
+    )
+    with _x32():
+        out = call(jnp.asarray([cut], dtype=jnp.float32),
+                   mat.astype(jnp.float32),
+                   mat.astype(jnp.float32),
+                   py.astype(jnp.float32)[:, None])
     return out[::8, ::128]  # count lives at [0, 0] of each (8, 128) block
 
 
-def _row_compact(hit_row, col_ids_row, payload_rows, K):
-    """Compact ONE tile row's hits to the slot front WITHOUT scatter.
+def _compact_column(hit_col, val_cols, j_col, K, tril_f32, k_row):
+    """Compact one anchor's partner strip WITHOUT scatter or cumsum.
 
-    Mosaic has no general scatter, so the compaction is a 2-D iota match:
-    dest[j] = exclusive-rank of hit j (int32 cumsum); slot k then selects
-    the unique j with dest==k via a (K, TJ) comparison and masked sums.
-    All int math is pinned int32 (the package-global x64 mode would promote
-    plain sums/indices to i64, which Mosaic rejects).
+    Mosaic on this terminal lowers neither scatter nor cumsum; the rank of
+    each hit is an inclusive prefix sum computed as ONE MXU dot with a
+    lower-triangular ones matrix, and slot k collects its unique hit via a
+    (TJ, K) selector mask reduced over sublanes (all sublane-major — lane
+    dims never need dynamic indexing, which TPU tiling forbids).
 
-    hit_row: (1, TJ) bool; col_ids_row: (1, TJ) int32; payload_rows: list of
-    (1, TJ) f32 rows compacted with the same permutation.  Returns
-    (count i32 scalar, cols (K,) int32 with -1 past count, payloads (K,)).
-    Hits ranked >= K are dropped — the caller detects count > K and
-    retries with a larger K (the cap-retry contract of the XLA engine,
-    screen.py::_run_screen)."""
-    tj = hit_row.shape[1]
-    hit_i = hit_row.astype(jnp.int32)
-    dest = jnp.cumsum(hit_i, axis=1) - 1  # int32 in, int32 out
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, tj), 0)
-    match = (k_iota == dest) & hit_row  # (K, TJ); <=1 true per k-row
-    count = jnp.sum(hit_row.astype(jnp.float32)).astype(jnp.int32)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0]
-    cols = jnp.sum(jnp.where(match, col_ids_row, 0), axis=1,
-                   dtype=jnp.int32)
-    cols = jnp.where(slot < count, cols, jnp.int32(-1))
-    outs = [jnp.sum(jnp.where(match, p, 0.0), axis=1) for p in payload_rows]
-    return count, cols, outs
+    hit_col: (TJ, 1) bool; val_cols: list of (TJ, 1) f32; j_col: (TJ, 1)
+    int32 partner ids.  Returns (count i32, cols (1, K) int32 with -1 past
+    count, payload rows (1, K)).  Hits ranked >= K are dropped — the caller
+    detects count > K and retries with K doubled."""
+    hit_f = hit_col.astype(jnp.float32)
+    # slot[j] = exclusive rank of hit j (inclusive prefix - 1), via MXU
+    slot = jnp.dot(tril_f32, hit_f,
+                   preferred_element_type=jnp.float32).astype(jnp.int32) - 1
+    cnt = jnp.sum(hit_f).astype(jnp.int32)
+    sel = ((slot == k_row) & hit_col).astype(jnp.float32)  # (TJ, K)
+    cols = jnp.sum(sel * j_col.astype(jnp.float32), axis=0, keepdims=True)
+    # partner ids < 2^24 are exact in f32
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    cols = jnp.where(k_iota < cnt, cols.astype(jnp.int32), -1)
+    outs = [jnp.sum(sel * v, axis=0, keepdims=True) for v in val_cols]
+    return cnt, cols, outs
 
 
-def _exact_kernel_factory(TJ, K, mask_mode, n_at8, m_true):
-    """Kernel body for the fused exact-scan tile (one 8-anchor band x one
-    TJ-partner tile per grid step).  Statics baked in by the caller."""
+_TA = 128  # anchors per exact-scan grid step (lane-legal block width)
+
+
+def _exact_kernel_factory(TJ, K, mask_mode, m0_true, m1_true):
+    """Kernel body for the fused exact-scan step: one 128-anchor block x one
+    TJ-partner tile per grid step, anchors iterated with a fori_loop.
+
+    All tensors live TRANSPOSED — anchors/partners on sublanes, individuals
+    on lanes — so the per-anchor strip is a (TJ, 1) column and every store
+    is a dynamic SUBLANE row write (`ref[pl.ds(a, 1), :]`), the only
+    dynamic-index form the TPU tiling allows (measured on-chip: the old
+    (n, 8) anchor band violates the lane-divisibility rule)."""
     from jax.experimental import pallas as pl
 
-    def kernel(crit_ref, a_ref, b_ref, py_ref, pvp_ref, cnt_ref, col_ref,
+    def kernel(crit_ref, aT_ref, bT_ref, py_ref, pvp_ref, cnt_ref, col_ref,
                eff_ref, var_ref, chi_ref):
         i = pl.program_id(0)
         j = pl.program_id(1)
         crit = crit_ref[0]
-        col_ids = (j * jnp.int32(TJ) + jax.lax.broadcasted_iota(
-            jnp.int32, (1, TJ), 1))
-        py = py_ref[:, :]  # (n, 1)
+        j_col = (j * jnp.int32(TJ) + jax.lax.broadcasted_iota(
+            jnp.int32, (TJ, 1), 0))
+        tril = (jax.lax.broadcasted_iota(jnp.int32, (TJ, TJ), 0)
+                >= jax.lax.broadcasted_iota(jnp.int32, (TJ, TJ), 1)
+                ).astype(jnp.float32)
+        k_row = jax.lax.broadcasted_iota(jnp.int32, (TJ, K), 1)
         pvp = pvp_ref[:, :]
-        cnt_block = jnp.zeros((8, 128), dtype=jnp.int32)
-        lane0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0
-        row_sel = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        for a in range(8):  # unrolled: static row stores
-            anchor = i * jnp.int32(8) + jnp.int32(a)
-            e = a_ref[:, a:a + 1] * b_ref[:, :]  # (n, TJ)
-            eff = jnp.sum(e * py, axis=0, keepdims=True)  # (1, TJ)
-            pvpe = jnp.dot(pvp, e, preferred_element_type=jnp.float32)
-            var = jnp.sum(e * pvpe, axis=0, keepdims=True)
-            chi = eff * eff / var  # 0/0 -> NaN -> never a hit
+        py = py_ref[:, :]
+        bT = bT_ref[:, :]
+
+        def body(a, _):
+            anchor = i * jnp.int32(_TA) + a
+            arow = aT_ref[pl.ds(a, 1), :]              # (1, n)
+            eT = bT * arow                             # (TJ, n)
+            # the pair-variance GEMM — PVP is symmetric so eT @ PVP works
+            # in the transposed domain directly
+            pvpeT = jnp.dot(eT, pvp, preferred_element_type=jnp.float32)
+            var_c = jnp.sum(eT * pvpeT, axis=1, keepdims=True)   # (TJ, 1)
+            eff_c = jnp.dot(eT, py, preferred_element_type=jnp.float32)
+            chi_c = eff_c * eff_c / var_c  # 0/0 -> NaN -> never a hit
             if mask_mode == "tri":
-                valid = col_ids > anchor
+                valid = j_col > anchor
             else:  # AD full rectangle minus the diagonal
-                valid = col_ids != anchor
-            valid &= (col_ids < jnp.int32(m_true)) & (
-                anchor < jnp.int32(m_true))
-            hit = (chi > crit) & valid
-            cnt, cols, (effs, vars_, chis) = _row_compact(
-                hit, col_ids, [eff, var, chi], K)
-            cnt_block = jnp.where(lane0 & (row_sel == a), cnt, cnt_block)
-            col_ref[a, :] = cols
-            eff_ref[a, :] = effs
-            var_ref[a, :] = vars_
-            chi_ref[a, :] = chis
-        cnt_ref[:, :] = cnt_block
+                valid = j_col != anchor
+            valid &= (j_col < jnp.int32(m1_true)) & (
+                anchor < jnp.int32(m0_true))
+            hit = (chi_c > crit) & valid
+            cnt, cols, (effs, vars_, chis) = _compact_column(
+                hit, [eff_c, var_c, chi_c], j_col, K, tril, k_row)
+            cnt_ref[pl.ds(a, 1), :] = jnp.broadcast_to(
+                cnt.reshape(1, 1), (1, 128))
+            col_ref[pl.ds(a, 1), :] = cols
+            eff_ref[pl.ds(a, 1), :] = effs
+            var_ref[pl.ds(a, 1), :] = vars_
+            chi_ref[pl.ds(a, 1), :] = chis
+            return 0
+
+        jax.lax.fori_loop(0, _TA, body, 0)
 
     return kernel
 
@@ -238,37 +289,45 @@ def pallas_exact_scan(mat0, mat1, py, pvp, chi_crit, mask_mode="tri",
     C analogue _remma_epi_eff_cpu.c:91-137 computes eff only — the variance
     column is what the exact test adds, remma_epiAA.py:71-82).
 
-    Per grid step: an 8-anchor band against a TJ-partner tile; per anchor
+    Per grid step: a 128-anchor block against a TJ-partner tile; per anchor
     e = m0[:, a] * m1[:, J], eff = e'py, var = colsum(e * (pvp @ e)) with
-    the (n, n) @ (n, TJ) GEMM on the MXU; chi = eff^2/var is thresholded
-    and each row's hits are compacted in VMEM (`_row_compact`), so HBM gets
-    fixed (8, K) blocks instead of four dense (m, m) panels.
+    the (TJ, n) @ (n, n) GEMM on the MXU; chi = eff^2/var is thresholded
+    and each anchor's hits are compacted in VMEM (`_compact_column`), so
+    HBM receives fixed (128, K) blocks instead of four dense (m, m) panels.
 
-    Returns (counts (m8, n_pt), cols/effs/vars/chis (m8, n_pt, K)) numpy
-    arrays; rows past m and slots past counts are -1/garbage.  Caller
-    retries with larger K if any count > K (`pallas_exact_hits`)."""
+    Returns (counts (m0p, n_pt), cols/effs/vars/chis (m0p, n_pt, K)) numpy
+    arrays; rows past m0 and slots past counts are 0/-1.  Caller retries
+    with larger K if any count > K (`pallas_exact_hits`).  On hardware K is
+    rounded up to a 128 multiple (output-block lane rule)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     mat0 = jnp.asarray(mat0, jnp.float32)
     mat1 = jnp.asarray(mat1, jnp.float32)
-    n, m = mat0.shape
-    m8 = -(-m // 8) * 8
-    m_pad = -(-mat1.shape[1] // TJ) * TJ
-    if m8 != m:
-        mat0 = jnp.pad(mat0, ((0, 0), (0, m8 - m)))
-    if m_pad != mat1.shape[1]:
-        mat1 = jnp.pad(mat1, ((0, 0), (0, m_pad - mat1.shape[1])))
-    n_at, n_pt = m8 // 8, m_pad // TJ
-    kernel = _exact_kernel_factory(TJ, K, mask_mode, n_at, m)
-    outs = pl.pallas_call(
+    if not interpret:
+        K = max(128, -(-K // 128) * 128)
+    n, m0 = mat0.shape
+    m1 = mat1.shape[1]
+    m0p = -(-m0 // _TA) * _TA
+    m1p = -(-m1 // TJ) * TJ
+    if m0p != m0:
+        mat0 = jnp.pad(mat0, ((0, 0), (0, m0p - m0)))
+    if m1p != m1:
+        mat1 = jnp.pad(mat1, ((0, 0), (0, m1p - m1)))
+    n_at, n_pt = m0p // _TA, m1p // TJ
+    if m0p * n_pt * (128 + 4 * K) * 4 > (512 << 20):
+        raise PallasDenseError(
+            f"exact-scan outputs for ({m0}, {m1}) would allocate "
+            f"{m0p * n_pt * (128 + 4 * K) * 4 >> 20} MB")
+    kernel = _exact_kernel_factory(TJ, K, mask_mode, m0, m1)
+    call = pl.pallas_call(
         kernel,
         grid=(n_at, n_pt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # chi_crit (1,)
-            pl.BlockSpec((n, 8), lambda i, j: (0, i),
+            pl.BlockSpec((_TA, n), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, TJ), lambda i, j: (0, j),
+            pl.BlockSpec((TJ, n), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -276,29 +335,33 @@ def pallas_exact_scan(mat0, mat1, py, pvp, chi_crit, mask_mode="tri",
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, 128), lambda i, j: (i, j),
+            pl.BlockSpec((_TA, 128), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, K), lambda i, j: (i, j),
+            pl.BlockSpec((_TA, K), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, K), lambda i, j: (i, j),
+            pl.BlockSpec((_TA, K), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, K), lambda i, j: (i, j),
+            pl.BlockSpec((_TA, K), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, K), lambda i, j: (i, j),
+            pl.BlockSpec((_TA, K), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m8, n_pt * 128), jnp.int32),
-            jax.ShapeDtypeStruct((m8, n_pt * K), jnp.int32),
-            jax.ShapeDtypeStruct((m8, n_pt * K), jnp.float32),
-            jax.ShapeDtypeStruct((m8, n_pt * K), jnp.float32),
-            jax.ShapeDtypeStruct((m8, n_pt * K), jnp.float32),
+            jax.ShapeDtypeStruct((m0p, n_pt * 128), jnp.int32),
+            jax.ShapeDtypeStruct((m0p, n_pt * K), jnp.int32),
+            jax.ShapeDtypeStruct((m0p, n_pt * K), jnp.float32),
+            jax.ShapeDtypeStruct((m0p, n_pt * K), jnp.float32),
+            jax.ShapeDtypeStruct((m0p, n_pt * K), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.asarray([chi_crit], jnp.float32), mat0, mat1,
-      py.astype(jnp.float32)[:, None], pvp.astype(jnp.float32))
-    cnt = np.asarray(outs[0]).reshape(m8, n_pt, 128)[:, :, 0]
-    packed = [np.asarray(o).reshape(m8, n_pt, K) for o in outs[1:]]
+    )
+    with _x32():
+        outs = call(jnp.asarray([chi_crit], jnp.float32),
+                    mat0.T, mat1.T,
+                    py.astype(jnp.float32)[:, None],
+                    pvp.astype(jnp.float32))
+    cnt = np.asarray(outs[0]).reshape(m0p, n_pt, 128)[:, :, 0]
+    packed = [np.asarray(o).reshape(m0p, n_pt, K) for o in outs[1:]]
     return (cnt, *packed)
 
 
@@ -321,36 +384,48 @@ def pallas_exact_hits(mat0, mat1, py, pvp, chi_crit, mask_mode="tri",
 
 
 def _screen_extract_factory(K, m_true):
-    """Kernel body for the in-VMEM screen hit extraction: one 8-row band of
-    one hot (TILE x TILE) tile per grid step, hits compacted per row."""
+    """Kernel body for the in-VMEM screen hit extraction: one hot
+    (TILE, TILE) tile per grid step.  The score panel is ONE NT-form MXU
+    dot in [partner-sublane, anchor-lane] orientation; each anchor's strip
+    is pulled out as a (TILE, 1) column via a one-hot MXU dot (dynamic LANE
+    indexing is illegal on TPU) and compacted sublane-major."""
     from jax.experimental import pallas as pl
 
-    def kernel(tiles_ref, cut_ref, a_ref, b_ref, py_ref, cnt_ref, col_ref,
+    def kernel(tiles_ref, cut_ref, aT_ref, bT_ref, py_ref, cnt_ref, col_ref,
                eff_ref):
         g = pl.program_id(0)
-        band = pl.program_id(1)
         ti = tiles_ref[g, 0]
         tj = tiles_ref[g, 1]
         cut = cut_ref[0]
-        s8 = jnp.dot(
-            (a_ref[:, :] * py_ref[:, :]).T, b_ref[:, :],
-            preferred_element_type=jnp.float32,
-        )  # (8, TILE)
-        col_ids = tj * jnp.int32(TILE) + jax.lax.broadcasted_iota(
-            jnp.int32, (1, TILE), 1)
-        cnt_block = jnp.zeros((8, 128), dtype=jnp.int32)
-        lane0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0
-        row_sel = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        for a in range(8):  # unrolled: static row stores
-            row_id = ti * jnp.int32(TILE) + band * jnp.int32(8) + jnp.int32(a)
-            s_row = s8[a:a + 1, :]
-            hit = (jnp.abs(s_row) > cut) & (col_ids > row_id) & (
-                col_ids < jnp.int32(m_true)) & (row_id < jnp.int32(m_true))
-            cnt, cols, (effs,) = _row_compact(hit, col_ids, [s_row], K)
-            cnt_block = jnp.where(lane0 & (row_sel == a), cnt, cnt_block)
-            col_ref[a, :] = cols
-            eff_ref[a, :] = effs
-        cnt_ref[:, :] = cnt_block
+        scaledT = aT_ref[:, :] * py_ref[:, :]          # (TILE, n) * (1, n)
+        # S_T[j, a] = sum_k B[k, j] A_scaled[k, a]: one NT dot at MXU peak
+        s_T = jax.lax.dot_general(
+            bT_ref[:, :], scaledT, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (TILE_j, TILE_a)
+        j_col = (tj * jnp.int32(TILE) + jax.lax.broadcasted_iota(
+            jnp.int32, (TILE, 1), 0))
+        tril = (jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+                >= jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+                ).astype(jnp.float32)
+        k_row = jax.lax.broadcasted_iota(jnp.int32, (TILE, K), 1)
+        a_lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+
+        def body(a, _):
+            row_id = ti * jnp.int32(TILE) + a
+            onehot = (a_lane == a).astype(jnp.float32)  # (TILE, 1)
+            strip = jnp.dot(s_T, onehot,
+                            preferred_element_type=jnp.float32)  # (TILE, 1)
+            hit = (jnp.abs(strip) > cut) & (j_col > row_id) & (
+                j_col < jnp.int32(m_true)) & (row_id < jnp.int32(m_true))
+            cnt, cols, (effs,) = _compact_column(
+                hit, [strip], j_col, K, tril, k_row)
+            cnt_ref[pl.ds(a, 1), :] = jnp.broadcast_to(
+                cnt.reshape(1, 1), (1, 128))
+            col_ref[pl.ds(a, 1), :] = cols
+            eff_ref[pl.ds(a, 1), :] = effs
+            return 0
+
+        jax.lax.fori_loop(0, TILE, body, 0)
 
     return kernel
 
@@ -360,8 +435,8 @@ def pallas_extract_hot_tiles(mat_p, py, cut, tiles, m, K=128,
     """Phase 2 IN-KERNEL: recompute every hot (TILE, TILE) tile and compact
     its hits in VMEM — ONE Pallas program for the whole hot list, the tile
     coordinates scalar-prefetched so the block index maps DMA exactly the
-    needed genotype columns.  HBM receives (8, K) compacted blocks instead
-    of dense effect panels.
+    needed genotype columns.  HBM receives (TILE, K) compacted blocks
+    instead of dense effect panels.
 
     mat_p: (n, m_pad) TILE-padded codings; tiles: (n_hot, 2) int32 tile
     coords; m: true SNP count (masks padding).  Returns per-row
@@ -371,31 +446,31 @@ def pallas_extract_hot_tiles(mat_p, py, cut, tiles, m, K=128,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if not interpret:
+        K = max(128, -(-K // 128) * 128)
     n = mat_p.shape[0]
     n_hot = tiles.shape[0]
-    bands = TILE // 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tiles, cut
-        grid=(n_hot, bands),
+        grid=(n_hot,),
         in_specs=[
-            pl.BlockSpec((n, 8), lambda g, b, tiles, cut:
-                         (0, tiles[g, 0] * bands + b),
+            pl.BlockSpec((TILE, n), lambda g, tiles, cut: (tiles[g, 0], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, TILE), lambda g, b, tiles, cut:
-                         (0, tiles[g, 1]), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda g, b, tiles, cut: (0, 0),
+            pl.BlockSpec((TILE, n), lambda g, tiles, cut: (tiles[g, 1], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda g, tiles, cut: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, 128), lambda g, b, tiles, cut:
-                         (g * bands + b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, K), lambda g, b, tiles, cut:
-                         (g * bands + b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, K), lambda g, b, tiles, cut:
-                         (g * bands + b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 128), lambda g, tiles, cut: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, K), lambda g, tiles, cut: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, K), lambda g, tiles, cut: (g, 0),
+                         memory_space=pltpu.VMEM),
         ],
     )
-    outs = pl.pallas_call(
+    call = pl.pallas_call(
         _screen_extract_factory(K, m),
         grid_spec=grid_spec,
         out_shape=[
@@ -404,9 +479,11 @@ def pallas_extract_hot_tiles(mat_p, py, cut, tiles, m, K=128,
             jax.ShapeDtypeStruct((n_hot * TILE, K), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.asarray(tiles, jnp.int32),
-      jnp.asarray([cut], jnp.float32),
-      mat_p, mat_p, py.astype(jnp.float32)[:, None])
+    )
+    with _x32():
+        outs = call(jnp.asarray(tiles, jnp.int32),
+                    jnp.asarray([cut], jnp.float32),
+                    mat_p.T, mat_p.T, py.astype(jnp.float32)[None, :])
     return (np.asarray(outs[0])[:, 0], np.asarray(outs[1]),
             np.asarray(outs[2]))
 
@@ -432,6 +509,12 @@ def extract_tile_hits(mat, py, cut, ti, tj, m, cap=16384):
     return count, ti * TILE + rr, tj * TILE + cc, s[rr, cc]
 
 
+class PallasDenseError(RuntimeError):
+    """The hot-tile list is too dense for the in-kernel extraction's
+    (n_hot*TILE, K) output layout — the caller should use the XLA fused
+    engine for this workload WITHOUT disabling the Pallas path."""
+
+
 def pallas_screen(mat, py, cut, interpret: bool = False):
     """Full two-phase screen: (idx0, idx1, eff) numpy arrays of hits.
 
@@ -445,12 +528,23 @@ def pallas_screen(mat, py, cut, interpret: bool = False):
     mat = jnp.asarray(mat, dtype=jnp.float32)
     py = jnp.asarray(py, dtype=jnp.float32)
     n, m = mat.shape
+    n_tiles = -(-m // TILE)
+    if n_tiles * n_tiles * 4096 > (256 << 20):
+        # the count kernel's (8, 128)-per-tile output layout over-allocates
+        # 64x; at very wide panels the XLA fused engine is the right tool
+        raise PallasDenseError(
+            f"count grid for m={m} would allocate "
+            f"{n_tiles * n_tiles * 4096 >> 20} MB")
     counts = np.asarray(pallas_screen_counts(mat, py, cut, interpret=interpret))
     m_pad = ((m + TILE - 1) // TILE) * TILE
     mat_p = jnp.pad(mat, ((0, 0), (0, m_pad - m))) if m_pad != m else mat
     hot = np.stack(np.nonzero(counts), axis=1).astype(np.int32)
     if not len(hot):
         return (np.empty(0, np.int64),) * 2 + (np.empty(0, np.float32),)
+    if len(hot) * TILE * (128 + 128 * 8) * 4 > (256 << 20):
+        raise PallasDenseError(
+            f"{len(hot)} hot tiles would allocate "
+            f"{len(hot) * TILE * 1152 * 4 >> 20} MB of extraction buffers")
     # phase 2 in-kernel, ONE program for all hot tiles; per-row cap with
     # retry (a tile-total count can't overflow a row cap sized from the
     # densest row, so one doubling loop converges)

@@ -196,9 +196,16 @@ def _scan_anchors_impl(mat0, mat1, pieces, snp_lst_0, num_snp, triangular,
     choice = _pk.engine_choice()
     if (choice != "xla" and mesh is None and triangular and chi_crit > 0
             and np.array_equal(anchors, np.arange(num_snp - 1))):
-        return _scan_anchors_pallas(
-            mat0, mat1, pieces, num_snp, chi_crit, out_file,
-            interpret=(choice == "pallas-interpret"))
+        try:
+            return _scan_anchors_pallas(
+                mat0, mat1, pieces, num_snp, chi_crit, out_file,
+                interpret=(choice == "pallas-interpret"))
+        except _pk.PallasDenseError as exc:
+            logger.info("Pallas exact scan deferred to XLA engine: %s", exc)
+        except Exception as exc:  # Mosaic compile/runtime failure
+            logger.warning("Pallas exact scan failed (%r); XLA engine "
+                           "takes over for this process", exc)
+            _pk.disable_pallas()
     ndev = int(mesh.devices.size) if mesh is not None else 1
     # shrink the tile when the anchor list is small so padding anchors
     # (duplicates of the last anchor, masked from the output but not from

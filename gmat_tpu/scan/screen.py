@@ -45,6 +45,182 @@ logger = logging.getLogger(__name__)
 _HIT_CAP = 65536  # fixed per-anchor-tile hit capacity (static shapes for XLA)
 _EXTRACT_CHUNK = 4096  # partner columns per phase-2 scan step (HBM bound)
 
+# fused single-pass screen (round-3 engine) ---------------------------------
+_SEG = 16        # segment width of the hierarchical extraction
+_KSEG = 4        # segments gathered per row per visit
+_KROW = 8        # hit slots per row per visit
+_FUSED_CAP = 1 << 22  # global hit-buffer slots (48 MB); overflow -> legacy
+
+
+def _fused_visit(tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
+                 mask_mode, tile, kseg, krow, flat_cut, m):
+    """One (anchor-tile, partner-tile) visit of the fused screen.
+
+    Computes the tile GEMM once and extracts its hits hierarchically in the
+    same program: per-row segment hit counts (one fused reduction over the
+    score panel), `kseg` rounds of argmax pick the hot segments, the chosen
+    segments are gathered (kseg*_SEG-wide strip per row) and `krow` rounds
+    of argmax over the strip yield the hit columns and SIGNED effects
+    directly.  Iterative argmax costs ~0.05 ms/round on the reduced panels
+    vs ~1.1 ms for lax.top_k on the full (tile, tile) panel (measured,
+    tools/bench_extract2.py) — top_k is what made the old phase 2 8.5x
+    slower than its GEMM.
+
+    Exactness: a row is fully extracted iff its hits lie in <= kseg
+    distinct segments AND number <= krow; `flag` reports violations and the
+    driver re-extracts those visits' anchor tiles with the legacy engine.
+    Returns (count, flag, a_idx (TA,), rc_cap (TA,), cols (TA, krow),
+    vals (TA, krow))."""
+    dtype = a_gath.dtype
+    t, pt = tp_row[0] * tile, tp_row[1] * tile
+    a = jax.lax.dynamic_slice_in_dim(a_gath, t, tile, axis=1)
+    b = jax.lax.dynamic_slice_in_dim(b_mat, pt, tile, axis=1)
+    s = a.T @ b  # (TA, TC) — the MXU GEMM
+    a_idx = jax.lax.dynamic_slice_in_dim(anchors_padded, t, tile)
+    jt = jnp.arange(tile, dtype=jnp.int32)
+    j_ids = pt + jt
+    if flat_cut:
+        cuts = t2_p[0, 0]
+    else:
+        ba = jax.lax.dynamic_slice_in_dim(bins_anchor, t, tile)
+        cuts = jax.nn.one_hot(ba, 11, dtype=dtype) @ (
+            jax.lax.dynamic_slice_in_dim(t2_p, pt, tile, axis=1))
+    if mask_mode == "tri":
+        valid = j_ids[None, :] > a_idx[:, None]
+    else:
+        valid = j_ids[None, :] != a_idx[:, None]
+    valid &= j_ids[None, :] < jnp.int32(m)
+    hit = (jnp.abs(s) > cuts) & valid
+    rc = jnp.sum(hit, axis=1, dtype=jnp.int32)  # (TA,)
+    count = jnp.sum(rc, dtype=jnp.int32)  # pinned: x64 would promote
+    seg = min(_SEG, tile)
+    nseg = tile // seg
+    hs3 = hit.reshape(tile, nseg, seg)
+    seg_cnt = jnp.sum(hs3, axis=2, dtype=jnp.int32)  # (TA, nseg)
+    nz = jnp.sum((seg_cnt > 0).astype(jnp.int32), axis=1, dtype=jnp.int32)
+    kseg = min(kseg, nseg)
+    krow = min(krow, kseg * seg)
+    flag = (jnp.max(nz) > kseg) | (jnp.max(rc) > krow)
+    # kseg rounds of argmax pick distinct hottest segments per row
+    sc = seg_cnt
+    iota_seg = jnp.arange(nseg, dtype=jnp.int32)[None, :]
+    segs = []
+    for _ in range(kseg):
+        # lax.argmax with an explicit int32 index dtype: jnp.argmax under
+        # the package-global x64 mode emits int64 index math (emulated on
+        # TPU, rejected by Mosaic)
+        gi = jax.lax.argmax(sc, 1, jnp.int32)
+        segs.append(gi)
+        sc = jnp.where(iota_seg == gi[:, None], -1, sc)
+    seg_idx = jnp.stack(segs, axis=1)  # (TA, kseg)
+    s3 = s.reshape(tile, nseg, seg)
+    sg = jnp.take_along_axis(s3, seg_idx[:, :, None], axis=1)  # (TA,kseg,seg)
+    j_strip = (pt + seg_idx[:, :, None] * seg
+               + jnp.arange(seg, dtype=jnp.int32)[None, None, :])
+    if flat_cut:
+        cg = cuts
+    else:
+        cg = jnp.take_along_axis(cuts.reshape(tile, nseg, seg),
+                                 seg_idx[:, :, None], axis=1)
+    if mask_mode == "tri":
+        vs = j_strip > a_idx[:, None, None]
+    else:
+        vs = j_strip != a_idx[:, None, None]
+    vs &= j_strip < jnp.int32(m)
+    hstrip = (jnp.abs(sg) > cg) & vs
+    width = kseg * seg
+    key = jnp.where(hstrip, jnp.abs(sg) + jnp.ones((), dtype), 0).reshape(
+        tile, width)
+    iota_strip = jnp.arange(width, dtype=jnp.int32)[None, :]
+    idxs = []
+    for _ in range(krow):
+        ki = jax.lax.argmax(key, 1, jnp.int32)
+        idxs.append(ki)
+        key = jnp.where(iota_strip == ki[:, None], 0, key)
+    kidx = jnp.stack(idxs, axis=1)  # (TA, krow), desc-|s| rank order
+    vals = jnp.take_along_axis(sg.reshape(tile, width), kidx, axis=1)
+    cols = jnp.take_along_axis(j_strip.reshape(tile, width), kidx, axis=1)
+    rc_cap = jnp.minimum(rc, krow)
+    return count, flag, a_idx, rc_cap, cols, vals
+
+
+def _fused_body_factory(a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
+                        mask_mode, tile, flat_cut, m, cap):
+    krow = min(_KROW, min(_KSEG, tile // min(_SEG, tile)) * min(_SEG, tile))
+    rank = jnp.arange(krow, dtype=jnp.int32)[None, :]
+
+    def body(carry, tp_row):
+        buf_i, buf_j, buf_e, total = carry
+        count, flag, a_idx, rc_cap, cols, vals = _fused_visit(
+            tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
+            mask_mode, tile, _KSEG, _KROW, flat_cut, m)
+        offs = total + jnp.cumsum(rc_cap) - rc_cap
+        dest = jnp.where(rank < rc_cap[:, None], offs[:, None] + rank, cap)
+        dest = jnp.minimum(dest, cap).ravel()
+        buf_i = buf_i.at[dest].set(
+            jnp.broadcast_to(a_idx[:, None], (tile, krow)).ravel(),
+            mode="drop")
+        buf_j = buf_j.at[dest].set(cols.ravel(), mode="drop")
+        buf_e = buf_e.at[dest].set(vals.ravel(), mode="drop")
+        # advance by the FULL count so the host's per-visit slice offsets
+        # stay exact; unflagged visits have rc_cap == rc everywhere so their
+        # slices are hole-free (flagged slices are discarded by the driver)
+        return (buf_i, buf_j, buf_e, total + count), (count, flag)
+
+    return body
+
+
+@partial(jax.jit, static_argnames=("mask_mode", "tile", "flat_cut", "m",
+                                   "cap"))
+def _fused_screen_scan(worklist, a_gath, b_mat, anchors_padded, bins_anchor,
+                       t2_p, mask_mode, tile, flat_cut, m, cap):
+    """Fused single-pass screen: ONE dispatch scans the whole worklist,
+    compacting every visit's hits into a shared global buffer on device.
+    The host then fetches buffers[:total] — O(hits) bytes instead of the
+    per-tile fixed-capacity panels of the two-phase engine (the tunneled
+    device moves ~13 MB/s, so fetch bytes, not FLOPs, bound phase 2)."""
+    body = _fused_body_factory(a_gath, b_mat, anchors_padded, bins_anchor,
+                               t2_p, mask_mode, tile, flat_cut, m, cap)
+    init = (jnp.zeros((cap + 1,), jnp.int32),
+            jnp.zeros((cap + 1,), jnp.int32),
+            jnp.zeros((cap + 1,), a_gath.dtype), jnp.int32(0))
+    (buf_i, buf_j, buf_e, total), (counts, flags) = jax.lax.scan(
+        body, init, worklist)
+    return buf_i, buf_j, buf_e, total, counts, flags
+
+
+def _fused_screen_mesh(mesh, worklist, a_gath, b_mat, anchors_padded,
+                       bins_anchor, t2_p, mask_mode, tile, flat_cut, m, cap):
+    """Fused screen over a device mesh: worklist rows sharded, everything
+    else replicated; each device runs the same per-visit math into its own
+    global buffer, so the merged (visit-keyed) output is byte-identical to
+    single-device.  Worklist must be padded to a mesh-size multiple."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from gmat_tpu.dist.mesh import AXIS
+
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(AXIS, None), P(None, None), P(None, None), P(None),
+                  P(None), P(None, None)),
+        out_specs=(P(AXIS, None),) * 3 + (P(AXIS),) + (P(AXIS, None),) * 2,
+    )
+    def kernel(wl, ag, bm, ap, ba, tp):
+        body = _fused_body_factory(ag, bm, ap, ba, tp, mask_mode, tile,
+                                   flat_cut, m, cap)
+        zero = jnp.sum(wl[:1, :1]) * 0  # device-varying zero for the carry
+        init = (jnp.zeros((cap + 1,), jnp.int32) + zero,
+                jnp.zeros((cap + 1,), jnp.int32) + zero,
+                jnp.zeros((cap + 1,), ag.dtype) + zero.astype(ag.dtype),
+                zero)
+        (bi, bj, be, total), (counts, flags) = jax.lax.scan(body, init, wl)
+        return (bi[None], bj[None], be[None], total[None], counts[None],
+                flags[None])
+
+    return kernel(worklist, a_gath, b_mat, anchors_padded, bins_anchor, t2_p)
+
 
 def _screen_slack() -> float:
     """Threshold slack compensating the screen GEMM's compute precision.
@@ -518,17 +694,94 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
             and not flip_output and a_mat is b_mat and flat_cut
             and float(table.ravel()[0]) > 0
             and np.array_equal(anchors, np.arange(m_part - 1))):
-        cut = float(table.ravel()[0])
-        i0, i1, eff = _pk.pallas_screen(
-            a_mat, pymat, cut, interpret=(choice == "pallas-interpret"))
-        order = np.lexsort((i1, i0))
-        logger.info("Screen engine: %s, %d hits", choice, len(i0))
-        return (i0[order].astype(np.int64), i1[order].astype(np.int64),
-                eff[order])
+        try:
+            cut = float(table.ravel()[0])
+            i0, i1, eff = _pk.pallas_screen(
+                a_mat, pymat, cut, interpret=(choice == "pallas-interpret"))
+            order = np.lexsort((i1, i0))
+            logger.info("Screen engine: %s, %d hits", choice, len(i0))
+            return (i0[order].astype(np.int64), i1[order].astype(np.int64),
+                    eff[order])
+        except _pk.PallasDenseError as exc:
+            # too many hot tiles for the in-kernel extraction layout: the
+            # XLA fused engine handles dense workloads; keep Pallas enabled
+            logger.info("Pallas screen deferred to XLA engine: %s", exc)
+        except Exception as exc:  # Mosaic compile/runtime failure
+            logger.warning("Pallas screen failed (%r); XLA engine takes "
+                           "over for this process", exc)
+            _pk.disable_pallas()
     work = _tile_worklist(padded_all, b_mat.shape[1], mask_mode, tile)
     ndev = int(mesh.devices.size) if mesh is not None else 1
     clock_t0 = time.perf_counter()
-    if mesh is not None:
+    m_true = b_mat.shape[1]
+    seg = min(_SEG, tile)
+    use_fused = (os.environ.get("GMAT_TPU_SCREEN", "fused") == "fused"
+                 and tile % seg == 0 and len(work) > 0)
+    fused_slices = None  # per-visit (start, count) into the fetched buffers
+    fused_bufs = None
+    flags = None
+    if use_fused:
+        # fused single pass: counts AND compacted hits in one dispatch
+        n_ptiles = -(-m_true // tile)
+        b_pad_d = b_mat
+        t2_p_f = jnp.asarray(
+            np.asarray(table)[np.arange(11)[:, None] * 10
+                              + np.arange(11)[None, :]]
+            [:, np.asarray(bins_b, dtype=np.int64)]
+            .astype(np.dtype(a_mat.dtype)))
+        if n_ptiles * tile != m_true:
+            b_pad_d = jnp.pad(b_mat, ((0, 0), (0, n_ptiles * tile - m_true)))
+            t2_p_f = jnp.pad(t2_p_f, ((0, 0), (0, n_ptiles * tile - m_true)),
+                             constant_values=jnp.inf)
+        padded_d = jnp.asarray(padded_all)
+        a_gath_f = _gather_scale(a_mat, padded_d, pymat)
+        bins_anchor_f = bins_a_d[padded_d]
+        if mesh is not None:
+            wl = _pad_rows_to(work, ndev)
+            out = _fused_screen_mesh(
+                mesh, jnp.asarray(wl), a_gath_f, b_pad_d, padded_d,
+                bins_anchor_f, t2_p_f, mask_mode, tile, flat_cut, m_true,
+                _FUSED_CAP)
+            d_tot = np.asarray(out[3])
+            d_counts = np.asarray(out[4])
+            d_flags = np.asarray(out[5])
+            w_d = d_counts.shape[1]
+            pair_counts = d_counts.reshape(-1)[: len(work)]
+            flags = d_flags.reshape(-1)[: len(work)].astype(bool)
+            if int(d_tot.max()) <= _FUSED_CAP:
+                his, hjs, hes, starts = [], [], [], np.zeros(len(work),
+                                                            np.int64)
+                base = 0
+                for d in range(ndev):
+                    t_d = int(d_tot[d])
+                    his.append(np.asarray(out[0][d, :t_d]))
+                    hjs.append(np.asarray(out[1][d, :t_d]))
+                    hes.append(np.asarray(out[2][d, :t_d]))
+                    lo, hi = d * w_d, min((d + 1) * w_d, len(work))
+                    if lo < len(work):
+                        local = d_counts[d][: hi - lo]
+                        starts[lo:hi] = base + np.cumsum(local) - local
+                    base += t_d
+                fused_bufs = (np.concatenate(his), np.concatenate(hjs),
+                              np.concatenate(hes))
+                fused_slices = starts
+        else:
+            out = _fused_screen_scan(
+                jnp.asarray(work), a_gath_f, b_pad_d, padded_d,
+                bins_anchor_f, t2_p_f, mask_mode, tile, flat_cut, m_true,
+                _FUSED_CAP)
+            pair_counts = np.asarray(out[4])
+            flags = np.asarray(out[5]).astype(bool)
+            total = int(np.asarray(out[3]))
+            if total <= _FUSED_CAP:
+                fused_bufs = (np.asarray(out[0][:total]),
+                              np.asarray(out[1][:total]),
+                              np.asarray(out[2][:total]))
+                fused_slices = np.cumsum(pair_counts) - pair_counts
+        if fused_bufs is None:
+            logger.info("Fused screen overflowed %d slots; falling back to "
+                        "the two-phase extraction", _FUSED_CAP)
+    elif mesh is not None:
         pair_counts = np.asarray(
             _screen_counts_mesh(mesh, jnp.asarray(padded_all), a_mat, b_mat,
                                 pymat, bins_a_d, bins_b_d, table_d,
@@ -546,8 +799,8 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
     dt = time.perf_counter() - clock_t0
     pairs_swept = len(work) * tile * tile
     logger.info(
-        "Screen phase 1: %d tile pairs in %.3f s (%.3g pairs/s), "
-        "%d raw hits (incl. padding duplicates)", len(work), dt,
+        "Screen phase 1%s: %d tile pairs in %.3f s (%.3g pairs/s), "
+        "%d raw hits", " (fused)" if use_fused else "", len(work), dt,
         pairs_swept / max(dt, 1e-9), int(pair_counts.sum()),
     )
     log_phase("screen/phase1", 2.0 * a_mat.shape[0] * pairs_swept, dt,
@@ -562,8 +815,35 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
     count_grid = np.zeros((n_tiles, -(-b_mat.shape[1] // chunk)), np.int32)
     count_grid[work[:, 0], work[:, 1]] = np.minimum(pair_counts, 2**31 - 1)
     tile_res = {}
-    # dense tiles (keep-everything cuts): direct panel fetch, host threshold
     m_total = b_mat.shape[1]
+    if fused_bufs is not None and len(hot):
+        # serve every anchor tile whose visits are all unflagged straight
+        # from the fused buffers; flagged tiles (a row with hits in > KSEG
+        # segments or > KROW hits — incl. every keep-all/dense tile) fall
+        # through to the legacy extraction below
+        fi, fj, fe = fused_bufs
+        flagged_tiles = {int(t) for t in work[flags, 0]}
+        pieces = {}
+        for v in range(len(work)):
+            t = int(work[v, 0])
+            if t in flagged_tiles:
+                continue
+            c = int(pair_counts[v])
+            if c == 0:
+                continue
+            s0 = int(fused_slices[v])
+            pieces.setdefault(t, []).append((s0, c))
+        for t, sl in pieces.items():
+            tile_res[t] = (
+                np.concatenate([fi[s:s + c] for s, c in sl]),
+                np.concatenate([fj[s:s + c] for s, c in sl]),
+                np.concatenate([fe[s:s + c] for s, c in sl]),
+            )
+        hot = np.asarray(sorted(flagged_tiles & set(hot.tolist())),
+                         dtype=np.int64)
+        logger.info("Fused screen served %d tiles; %d flagged tiles to "
+                    "legacy extraction", len(pieces), len(hot))
+    # dense tiles (keep-everything cuts): direct panel fetch, host threshold
     dense = hot[counts[hot] > (tile * m_total) // 8]
     if len(dense):
         hot = hot[counts[hot] <= (tile * m_total) // 8]

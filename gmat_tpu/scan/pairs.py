@@ -207,6 +207,22 @@ def _scan_anchors_impl(mat0, mat1, pieces, snp_lst_0, num_snp, triangular,
                            "takes over for this process", exc)
             _pk.disable_pallas()
     ndev = int(mesh.devices.size) if mesh is not None else 1
+    # TPU: pad the individual axis to a 128 multiple with zero rows — the
+    # pair-variance GEMM at n=1408 runs 24% faster than at n=1304 (measured,
+    # tools/bench_sol.py).  Zero rows add exact zeros to every eff/var sum;
+    # CPU keeps the unpadded shapes so f64 goldens stay bit-stable.
+    n_id = mat0.shape[0]
+    n_pad = -(-n_id // 128) * 128
+    if n_pad != n_id and jax.default_backend() == "tpu":
+        rp = ((0, n_pad - n_id), (0, 0))
+        mat0, mat1 = jnp.pad(mat0, rp), jnp.pad(mat1, rp)
+        from types import SimpleNamespace
+
+        pieces = SimpleNamespace(
+            pymat=jnp.pad(pieces.pymat, (0, n_pad - n_id)),
+            pvpmat=jnp.pad(pieces.pvpmat,
+                           ((0, n_pad - n_id), (0, n_pad - n_id))),
+        )
     # shrink the tile when the anchor list is small so padding anchors
     # (duplicates of the last anchor, masked from the output but not from
     # the GEMM) never dominate the FLOPs; per-anchor results are

@@ -26,6 +26,7 @@ sys.path.insert(0, str(ROOT))
 
 REPS = 5
 K = 1 << 19  # RHS columns: big enough to hide dispatch overhead
+K_BIG = 1 << 17  # n=4096 would OOM HBM at the full K
 
 
 def main():
@@ -39,8 +40,9 @@ def main():
     out = {}
 
     def measure(name, n, dtype):
+        k_cols = K_BIG if n >= 4096 else K
         a = jnp.asarray(rng.standard_normal((n, n)), dtype)
-        b = jnp.asarray(rng.standard_normal((n, K)), dtype)
+        b = jnp.asarray(rng.standard_normal((n, k_cols)), dtype)
 
         @jax.jit
         def mm(a_, b_):
@@ -53,7 +55,7 @@ def main():
         for _ in range(REPS):
             float(mm(a, b))
         dt = (time.perf_counter() - t0) / REPS
-        tf = 2.0 * n * n * K / dt / 1e12
+        tf = 2.0 * n * n * k_cols / dt / 1e12
         out[name] = round(tf, 2)
         print(f"{name}: {tf:.1f} TF/s", file=sys.stderr, flush=True)
 

@@ -2,12 +2,14 @@
 """Headline benchmark: the PRODUCTION epiAA effect-screen (SNP-pairs/s).
 
 Measures `gmat_tpu.scan.screen._run_screen` — the exact code path every
-`remma_epi*_eff` / `remma_epi*_approx` call runs (phase-1 tiled GEMM counts
-+ phase-2 batched hit extraction) — at a threshold that yields real hits, on
-a mouse-sized cohort (n=1304) with a synthetic 262144-SNP panel (34.4G
-pairs).  This is the TPU-native equivalent of the reference's C/OpenMP
-`remma_epiAA_eff_cpu` kernel (_remma_epi_eff_cpu.c:91-137); `vs_baseline`
-compares against that C kernel measured on this host
+`remma_epi*_eff` / `remma_epi*_approx` call runs (round 3: ONE fused
+sweep that counts AND extracts per-visit hits via iterative argmax,
+fetching buffers[:total] = O(hits) bytes; flagged dense visits re-extract
+through the legacy two-phase engine) — at a threshold that yields real
+hits, on a mouse-sized cohort (n=1304) with a synthetic 262144-SNP panel
+(34.4G pairs).  This is the TPU-native equivalent of the reference's
+C/OpenMP `remma_epiAA_eff_cpu` kernel (_remma_epi_eff_cpu.c:91-137);
+`vs_baseline` compares against that C kernel measured on this host
 (tools/bench_reference.py -> bench_baseline.json).
 
 Secondary metrics (in the JSON line's "extra" field):

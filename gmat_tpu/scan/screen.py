@@ -46,31 +46,26 @@ _HIT_CAP = 65536  # fixed per-anchor-tile hit capacity (static shapes for XLA)
 _EXTRACT_CHUNK = 4096  # partner columns per phase-2 scan step (HBM bound)
 
 # fused single-pass screen (round-3 engine) ---------------------------------
-_SEG = 16        # segment width of the hierarchical extraction
-_KSEG = 4        # segments gathered per row per visit
-_KROW = 8        # hit slots per row per visit
+# hit slots per row per visit: each costs one argmax round (~0.1 ms/visit at
+# the bench tile); rows with more hits re-extract via the legacy engine at
+# tile-pair granularity, so a small krow wins unless flags are common
+_KROW = int(os.environ.get("GMAT_TPU_KROW", "4"))
 _FUSED_CAP = 1 << 22  # global hit-buffer slots (48 MB); overflow -> legacy
 
 
 def _fused_visit(tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
-                 mask_mode, tile, kseg, krow, flat_cut, m):
+                 mask_mode, tile, krow, flat_cut, m):
     """One (anchor-tile, partner-tile) visit of the fused screen.
 
-    Computes the tile GEMM once and extracts its hits hierarchically in the
-    same program: per-row segment hit counts (one fused reduction over the
-    score panel), `kseg` rounds of argmax pick the hot segments, the chosen
-    segments are gathered (kseg*_SEG-wide strip per row) and `krow` rounds
-    of argmax over the strip yield the hit columns and SIGNED effects
-    directly.  Iterative argmax costs ~0.05 ms/round on the reduced panels
-    vs ~1.1 ms for lax.top_k on the full (tile, tile) panel (measured,
-    tools/bench_extract2.py) — top_k is what made the old phase 2 8.5x
-    slower than its GEMM.
+    Computes the tile GEMM once and extracts its hits in the same program
+    via `krow` rounds of iterative argmax over the masked score panel,
+    yielding hit columns and SIGNED effects directly.
 
-    Exactness: a row is fully extracted iff its hits lie in <= kseg
-    distinct segments AND number <= krow; `flag` reports violations and the
-    driver re-extracts those visits' anchor tiles with the legacy engine.
-    Returns (count, flag, a_idx (TA,), rc_cap (TA,), cols (TA, krow),
-    vals (TA, krow))."""
+    Exactness: a row is fully extracted iff it has <= krow hits in this
+    visit; `flag` reports violations and the driver re-extracts those
+    VISITS (tile-pair granularity) with the legacy engine, keeping every
+    unflagged visit's fused hits.  Returns (count, flag, a_idx (TA,),
+    rc_cap (TA,), cols (TA, krow), vals (TA, krow))."""
     dtype = a_gath.dtype
     t, pt = tp_row[0] * tile, tp_row[1] * tile
     a = jax.lax.dynamic_slice_in_dim(a_gath, t, tile, axis=1)
@@ -93,100 +88,84 @@ def _fused_visit(tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
     hit = (jnp.abs(s) > cuts) & valid
     rc = jnp.sum(hit, axis=1, dtype=jnp.int32)  # (TA,)
     count = jnp.sum(rc, dtype=jnp.int32)  # pinned: x64 would promote
-    seg = min(_SEG, tile)
-    nseg = tile // seg
-    hs3 = hit.reshape(tile, nseg, seg)
-    seg_cnt = jnp.sum(hs3, axis=2, dtype=jnp.int32)  # (TA, nseg)
-    nz = jnp.sum((seg_cnt > 0).astype(jnp.int32), axis=1, dtype=jnp.int32)
-    kseg = min(kseg, nseg)
-    krow = min(krow, kseg * seg)
-    flag = (jnp.max(nz) > kseg) | (jnp.max(rc) > krow)
-    # kseg rounds of argmax pick distinct hottest segments per row
-    sc = seg_cnt
-    iota_seg = jnp.arange(nseg, dtype=jnp.int32)[None, :]
-    segs = []
-    for _ in range(kseg):
-        # lax.argmax with an explicit int32 index dtype: jnp.argmax under
-        # the package-global x64 mode emits int64 index math (emulated on
-        # TPU, rejected by Mosaic)
-        gi = jax.lax.argmax(sc, 1, jnp.int32)
-        segs.append(gi)
-        sc = jnp.where(iota_seg == gi[:, None], -1, sc)
-    seg_idx = jnp.stack(segs, axis=1)  # (TA, kseg)
-    s3 = s.reshape(tile, nseg, seg)
-    sg = jnp.take_along_axis(s3, seg_idx[:, :, None], axis=1)  # (TA,kseg,seg)
-    j_strip = (pt + seg_idx[:, :, None] * seg
-               + jnp.arange(seg, dtype=jnp.int32)[None, None, :])
-    if flat_cut:
-        cg = cuts
-    else:
-        cg = jnp.take_along_axis(cuts.reshape(tile, nseg, seg),
-                                 seg_idx[:, :, None], axis=1)
-    if mask_mode == "tri":
-        vs = j_strip > a_idx[:, None, None]
-    else:
-        vs = j_strip != a_idx[:, None, None]
-    vs &= j_strip < jnp.int32(m)
-    hstrip = (jnp.abs(sg) > cg) & vs
-    width = kseg * seg
-    key = jnp.where(hstrip, jnp.abs(sg) + jnp.ones((), dtype), 0).reshape(
-        tile, width)
-    iota_strip = jnp.arange(width, dtype=jnp.int32)[None, :]
+    krow = min(krow, tile)
+    flag = jnp.max(rc) > krow
+    # krow rounds of iterative argmax over the full panel: ~0.1 ms/round at
+    # the (4096, 4096) bench tile vs ~1.1 ms for one lax.top_k call
+    # (tools/bench_extract2.py) — top_k is what made the old phase 2
+    # extraction-bound.  (A bf16 key measured no faster: the casts cost
+    # what the bandwidth saves.)  lax.argmax with an explicit int32 index
+    # dtype: jnp.argmax under the package-global x64 mode emits int64
+    # index math (emulated on TPU, rejected by Mosaic).
+    key = jnp.where(hit, jnp.abs(s) + jnp.ones((), dtype), 0)
+    iota = jt[None, :]
     idxs = []
     for _ in range(krow):
         ki = jax.lax.argmax(key, 1, jnp.int32)
         idxs.append(ki)
-        key = jnp.where(iota_strip == ki[:, None], 0, key)
+        key = jnp.where(iota == ki[:, None], 0, key)
     kidx = jnp.stack(idxs, axis=1)  # (TA, krow), desc-|s| rank order
-    vals = jnp.take_along_axis(sg.reshape(tile, width), kidx, axis=1)
-    cols = jnp.take_along_axis(j_strip.reshape(tile, width), kidx, axis=1)
+    vals = jnp.take_along_axis(s, kidx, axis=1)
+    cols = pt + kidx
     rc_cap = jnp.minimum(rc, krow)
     return count, flag, a_idx, rc_cap, cols, vals
 
 
-def _fused_body_factory(a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
-                        mask_mode, tile, flat_cut, m, cap):
-    krow = min(_KROW, min(_KSEG, tile // min(_SEG, tile)) * min(_SEG, tile))
-    rank = jnp.arange(krow, dtype=jnp.int32)[None, :]
+_K_TP = 2048  # per-visit candidate slots in the fused map
 
-    def body(carry, tp_row):
-        buf_i, buf_j, buf_e, total = carry
+
+def _fused_map_and_compact(worklist, a_gath, b_mat, anchors_padded,
+                           bins_anchor, t2_p, mask_mode, tile, flat_cut, m,
+                           cap):
+    """lax.map of `_fused_visit` with per-visit (_K_TP, 3) buffers, then ONE
+    global compaction scatter.  Measured: a lax.scan carrying the global
+    buffer costs ~2.4 ms/visit at the bench tile, the map form ~1.0 —
+    per-visit compaction scatters into tiny targets and the single global
+    scatter (W*_K_TP rows) costs ~20 ms once."""
+    krow = min(_KROW, tile)
+    rank = jnp.arange(krow, dtype=jnp.int32)[None, :]
+    slot = jnp.arange(_K_TP, dtype=jnp.int32)
+
+    def one(tp_row):
         count, flag, a_idx, rc_cap, cols, vals = _fused_visit(
             tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
-            mask_mode, tile, _KSEG, _KROW, flat_cut, m)
-        offs = total + jnp.cumsum(rc_cap) - rc_cap
-        dest = jnp.where(rank < rc_cap[:, None], offs[:, None] + rank, cap)
-        dest = jnp.minimum(dest, cap).ravel()
-        buf_i = buf_i.at[dest].set(
-            jnp.broadcast_to(a_idx[:, None], (tile, krow)).ravel(),
-            mode="drop")
-        buf_j = buf_j.at[dest].set(cols.ravel(), mode="drop")
-        buf_e = buf_e.at[dest].set(vals.ravel(), mode="drop")
-        # advance by the FULL count so the host's per-visit slice offsets
-        # stay exact; unflagged visits have rc_cap == rc everywhere so their
-        # slices are hole-free (flagged slices are discarded by the driver)
-        return (buf_i, buf_j, buf_e, total + count), (count, flag)
+            mask_mode, tile, krow, flat_cut, m)
+        offs = jnp.cumsum(rc_cap) - rc_cap
+        lv = offs[-1] + rc_cap[-1]  # valid (capped) hits this visit
+        flag |= lv > _K_TP
+        dest = jnp.where(rank < rc_cap[:, None], offs[:, None] + rank, _K_TP)
+        dest = jnp.minimum(dest, _K_TP).ravel()
+        rows = jnp.stack(
+            [jnp.broadcast_to(a_idx[:, None], (tile, krow)).ravel()
+             .astype(a_gath.dtype),
+             cols.ravel().astype(a_gath.dtype), vals.ravel()], axis=1)
+        buf = jnp.zeros((_K_TP + 1, 3), a_gath.dtype).at[dest, :].set(
+            rows, mode="drop")
+        return count, flag, jnp.minimum(lv, _K_TP), buf[:_K_TP]
 
-    return body
+    counts, flags, lv, bufs = jax.lax.map(one, worklist)
+    starts = jnp.cumsum(lv) - lv
+    total = starts[-1] + lv[-1]
+    dest = jnp.where(slot[None, :] < lv[:, None],
+                     starts[:, None] + slot[None, :], cap)
+    dest = jnp.minimum(dest, cap).ravel()
+    buf = jnp.zeros((cap + 1, 3), a_gath.dtype).at[dest, :].set(
+        bufs.reshape(-1, 3), mode="drop")
+    return buf, total, counts, flags, lv
 
 
 @partial(jax.jit, static_argnames=("mask_mode", "tile", "flat_cut", "m",
                                    "cap"))
 def _fused_screen_scan(worklist, a_gath, b_mat, anchors_padded, bins_anchor,
                        t2_p, mask_mode, tile, flat_cut, m, cap):
-    """Fused single-pass screen: ONE dispatch scans the whole worklist,
-    compacting every visit's hits into a shared global buffer on device.
-    The host then fetches buffers[:total] — O(hits) bytes instead of the
+    """Fused single-pass screen: ONE dispatch sweeps the whole worklist and
+    compacts every visit's hits into a shared global buffer on device.  The
+    host then fetches buffers[:total] — O(hits) bytes instead of the
     per-tile fixed-capacity panels of the two-phase engine (the tunneled
     device moves ~13 MB/s, so fetch bytes, not FLOPs, bound phase 2)."""
-    body = _fused_body_factory(a_gath, b_mat, anchors_padded, bins_anchor,
-                               t2_p, mask_mode, tile, flat_cut, m, cap)
-    init = (jnp.zeros((cap + 1,), jnp.int32),
-            jnp.zeros((cap + 1,), jnp.int32),
-            jnp.zeros((cap + 1,), a_gath.dtype), jnp.int32(0))
-    (buf_i, buf_j, buf_e, total), (counts, flags) = jax.lax.scan(
-        body, init, worklist)
-    return buf_i, buf_j, buf_e, total, counts, flags
+    return _fused_map_and_compact(worklist, a_gath, b_mat, anchors_padded,
+                                  bins_anchor, t2_p, mask_mode, tile,
+                                  flat_cut, m, cap)
 
 
 def _fused_screen_mesh(mesh, worklist, a_gath, b_mat, anchors_padded,
@@ -205,19 +184,13 @@ def _fused_screen_mesh(mesh, worklist, a_gath, b_mat, anchors_padded,
         jax.shard_map, mesh=mesh,
         in_specs=(P(AXIS, None), P(None, None), P(None, None), P(None),
                   P(None), P(None, None)),
-        out_specs=(P(AXIS, None),) * 3 + (P(AXIS),) + (P(AXIS, None),) * 2,
+        out_specs=(P(AXIS, None, None), P(AXIS), P(AXIS, None),
+                   P(AXIS, None), P(AXIS, None)),
     )
     def kernel(wl, ag, bm, ap, ba, tp):
-        body = _fused_body_factory(ag, bm, ap, ba, tp, mask_mode, tile,
-                                   flat_cut, m, cap)
-        zero = jnp.sum(wl[:1, :1]) * 0  # device-varying zero for the carry
-        init = (jnp.zeros((cap + 1,), jnp.int32) + zero,
-                jnp.zeros((cap + 1,), jnp.int32) + zero,
-                jnp.zeros((cap + 1,), ag.dtype) + zero.astype(ag.dtype),
-                zero)
-        (bi, bj, be, total), (counts, flags) = jax.lax.scan(body, init, wl)
-        return (bi[None], bj[None], be[None], total[None], counts[None],
-                flags[None])
+        buf, total, counts, flags, lv = _fused_map_and_compact(
+            wl, ag, bm, ap, ba, tp, mask_mode, tile, flat_cut, m, cap)
+        return buf[None], total[None], counts[None], flags[None], lv[None]
 
     return kernel(worklist, a_gath, b_mat, anchors_padded, bins_anchor, t2_p)
 
@@ -651,6 +624,16 @@ def _pad_rows_to(arr: np.ndarray, mult: int) -> np.ndarray:
     return arr
 
 
+def _merge_tile_res(tile_res, t, cur):
+    """Merge extraction results for one anchor tile: fused-served visits
+    and legacy-re-extracted flagged visits are disjoint tile-pair sets, so
+    concatenation is duplicate-free (assembly lexsorts per tile)."""
+    prev = tile_res.get(t)
+    if prev is not None:
+        cur = tuple(np.concatenate([p, q]) for p, q in zip(prev, cur))
+    tile_res[t] = cur
+
+
 def _run_screen(*args, **kwargs):
     """`_run_screen_impl` under the optional jax.profiler trace hook
     (GMAT_TPU_TRACE_DIR; core/roofline.py)."""
@@ -714,9 +697,13 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
     ndev = int(mesh.devices.size) if mesh is not None else 1
     clock_t0 = time.perf_counter()
     m_true = b_mat.shape[1]
-    seg = min(_SEG, tile)
+    # the fused pass pays ~2x the count-only phase 1 to make phase 2 nearly
+    # free; for SHORT worklists the legacy phase 2 is already cheap and a
+    # dense-per-row hit profile flags most visits back to it anyway
+    # (measured at the yeast shape: 26/28 visits flagged), so small scans
+    # keep the two-phase engine
     use_fused = (os.environ.get("GMAT_TPU_SCREEN", "fused") == "fused"
-                 and tile % seg == 0 and len(work) > 0)
+                 and len(work) >= 128)
     fused_slices = None  # per-visit (start, count) into the fetched buffers
     fused_bufs = None
     flags = None
@@ -742,42 +729,42 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
                 mesh, jnp.asarray(wl), a_gath_f, b_pad_d, padded_d,
                 bins_anchor_f, t2_p_f, mask_mode, tile, flat_cut, m_true,
                 _FUSED_CAP)
-            d_tot = np.asarray(out[3])
-            d_counts = np.asarray(out[4])
-            d_flags = np.asarray(out[5])
+            d_tot = np.asarray(out[1])
+            d_counts = np.asarray(out[2])
+            d_flags = np.asarray(out[3])
+            d_lv = np.asarray(out[4])
             w_d = d_counts.shape[1]
             pair_counts = d_counts.reshape(-1)[: len(work)]
             flags = d_flags.reshape(-1)[: len(work)].astype(bool)
             if int(d_tot.max()) <= _FUSED_CAP:
-                his, hjs, hes, starts = [], [], [], np.zeros(len(work),
-                                                            np.int64)
+                raws, starts = [], np.zeros(len(work), np.int64)
                 base = 0
                 for d in range(ndev):
                     t_d = int(d_tot[d])
-                    his.append(np.asarray(out[0][d, :t_d]))
-                    hjs.append(np.asarray(out[1][d, :t_d]))
-                    hes.append(np.asarray(out[2][d, :t_d]))
+                    raws.append(np.asarray(out[0][d, :t_d]))
                     lo, hi = d * w_d, min((d + 1) * w_d, len(work))
                     if lo < len(work):
-                        local = d_counts[d][: hi - lo]
+                        local = d_lv[d][: hi - lo]
                         starts[lo:hi] = base + np.cumsum(local) - local
                     base += t_d
-                fused_bufs = (np.concatenate(his), np.concatenate(hjs),
-                              np.concatenate(hes))
+                raw = np.concatenate(raws)
+                fused_bufs = (raw[:, 0].astype(np.int64),
+                              raw[:, 1].astype(np.int64), raw[:, 2])
                 fused_slices = starts
         else:
             out = _fused_screen_scan(
                 jnp.asarray(work), a_gath_f, b_pad_d, padded_d,
                 bins_anchor_f, t2_p_f, mask_mode, tile, flat_cut, m_true,
                 _FUSED_CAP)
-            pair_counts = np.asarray(out[4])
-            flags = np.asarray(out[5]).astype(bool)
-            total = int(np.asarray(out[3]))
+            pair_counts = np.asarray(out[2])
+            flags = np.asarray(out[3]).astype(bool)
+            total = int(np.asarray(out[1]))
+            lv = np.asarray(out[4])
             if total <= _FUSED_CAP:
-                fused_bufs = (np.asarray(out[0][:total]),
-                              np.asarray(out[1][:total]),
-                              np.asarray(out[2][:total]))
-                fused_slices = np.cumsum(pair_counts) - pair_counts
+                raw = np.asarray(out[0][:total])
+                fused_bufs = (raw[:, 0].astype(np.int64),
+                              raw[:, 1].astype(np.int64), raw[:, 2])
+                fused_slices = np.cumsum(lv) - lv
         if fused_bufs is None:
             logger.info("Fused screen overflowed %d slots; falling back to "
                         "the two-phase extraction", _FUSED_CAP)
@@ -817,19 +804,20 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
     tile_res = {}
     m_total = b_mat.shape[1]
     if fused_bufs is not None and len(hot):
-        # serve every anchor tile whose visits are all unflagged straight
-        # from the fused buffers; flagged tiles (a row with hits in > KSEG
-        # segments or > KROW hits — incl. every keep-all/dense tile) fall
-        # through to the legacy extraction below
+        # keep every UNFLAGGED visit's fused hits; only flagged visits (a
+        # row with > KROW hits in that tile pair — incl. every
+        # keep-all/dense tile pair) re-extract below, at tile-pair
+        # granularity, via the legacy engine's count grid
         fi, fj, fe = fused_bufs
-        flagged_tiles = {int(t) for t in work[flags, 0]}
         pieces = {}
+        legacy_grid = np.zeros_like(count_grid)
         for v in range(len(work)):
             t = int(work[v, 0])
-            if t in flagged_tiles:
-                continue
             c = int(pair_counts[v])
             if c == 0:
+                continue
+            if flags[v]:
+                legacy_grid[t, work[v, 1]] = c
                 continue
             s0 = int(fused_slices[v])
             pieces.setdefault(t, []).append((s0, c))
@@ -839,10 +827,16 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
                 np.concatenate([fj[s:s + c] for s, c in sl]),
                 np.concatenate([fe[s:s + c] for s, c in sl]),
             )
-        hot = np.asarray(sorted(flagged_tiles & set(hot.tolist())),
-                         dtype=np.int64)
-        logger.info("Fused screen served %d tiles; %d flagged tiles to "
-                    "legacy extraction", len(pieces), len(hot))
+        count_grid = legacy_grid
+        # per-tile totals over FLAGGED visits only: they size the legacy
+        # buckets and the dense-path decision below
+        counts = np.zeros(n_tiles, dtype=np.int64)
+        np.add.at(counts, work[:, 0],
+                  np.where(flags, pair_counts, 0))
+        hot = np.nonzero(counts)[0]
+        logger.info("Fused screen served %d tiles fully; %d flagged visits "
+                    "across %d tiles to legacy extraction",
+                    len(pieces), int(flags.sum()), len(hot))
     # dense tiles (keep-everything cuts): direct panel fetch, host threshold
     dense = hot[counts[hot] > (tile * m_total) // 8]
     if len(dense):
@@ -854,9 +848,9 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
             b_pad = jnp.pad(b_mat,
                             ((0, 0), (0, count_grid.shape[1] * chunk - m_total)))
         for t in dense:
-            tile_res[int(t)] = _dense_extract(
+            _merge_tile_res(tile_res, int(t), _dense_extract(
                 int(t), count_grid[t], padded_all, a_gath_dense, b_pad,
-                bins_a, bins_b, table, mask_mode, tile, chunk, m_total)
+                bins_a, bins_b, table, mask_mode, tile, chunk, m_total))
         logger.info("Screen dense path: %d tiles extracted via raw panels",
                     len(dense))
     if len(hot):
@@ -916,7 +910,8 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
             for k, t in enumerate(bucket):
                 c = int(cnts[k])
                 assert c <= cap, "phase-1 count no longer bounds extraction"
-                tile_res[int(t)] = (his[k, :c], hjs[k, :c], hes[k, :c])
+                _merge_tile_res(tile_res, int(t),
+                                (his[k, :c], hjs[k, :c], hes[k, :c]))
     out_i, out_j, out_e = [], [], []
     for t in sorted(tile_res):
         hi, hj, he = tile_res[int(t)]

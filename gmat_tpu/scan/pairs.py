@@ -485,13 +485,22 @@ def _remma_epi_pair(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     if pairs.size and (pairs.max() > num_snp - 1 or pairs.min() < 0):
         raise ValueError("snp_pair is out of range!")
     ndev = int(mesh.devices.size) if mesh is not None else 1
+    # canonical chunk width, identical on every path: the batch width
+    # changes the BLAS accumulation strategy and hence the last ulp of
+    # var/chi, so EVERY chunk (single-device and per-device) is padded to
+    # the same width — mesh output stays byte-identical to single-device
+    width = max_test_pair
+    if len(pairs):
+        width = min(max_test_pair,
+                    max(8, 1 << int(len(pairs) - 1).bit_length()))
     np.savetxt(out_file, [_HEADER_PAIR], fmt="%s")
     with open(out_file, "a") as fout:
-        for start in range(0, len(pairs), max_test_pair):
-            chunk = pairs[start:start + max_test_pair]
+        step = width * ndev if mesh is not None else width
+        for start in range(0, len(pairs), step):
+            chunk = pairs[start:start + step]
+            npad = (-len(chunk)) % step
+            cpad = np.concatenate([chunk, np.repeat(chunk[-1:], npad, 0)])
             if mesh is not None:
-                npad = (-len(chunk)) % ndev
-                cpad = np.concatenate([chunk, np.repeat(chunk[-1:], npad, 0)])
                 eff, var, chi, p = (
                     np.asarray(a)[: len(chunk)]
                     for a in _pair_kernel_mesh(
@@ -501,9 +510,9 @@ def _remma_epi_pair(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                 )
             else:
                 eff, var, chi, p = (
-                    np.asarray(a)
+                    np.asarray(a)[: len(chunk)]
                     for a in _pair_kernel(
-                        jnp.asarray(chunk[:, 0]), jnp.asarray(chunk[:, 1]),
+                        jnp.asarray(cpad[:, 0]), jnp.asarray(cpad[:, 1]),
                         mat0, mat1, pieces.pymat, pieces.pvpmat,
                     )
                 )

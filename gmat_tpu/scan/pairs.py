@@ -67,61 +67,99 @@ _SCAN_HIT_CAP = 65536  # fixed per-anchor-tile hit capacity (static shapes)
 
 
 def _anchor_hits_body(tstart, anchors_padded, avalid, mat0, mat1, pymat,
-                      pvpmat, chi_crit, triangular, tile, cap):
+                      pvpmat, chi_crit, triangular, tile, cap, pch=None):
     """Fused exact-scan tile: eff/var/chi for one anchor tile against all
     partners, thresholded and compacted ON DEVICE so only O(hits) rows cross
     to host (the reference filters p<p_cut per anchor on host,
     remma_epiAA.py:78-82; here chi > chi2.isf(p_cut, 1) is the same test).
 
+    The partner axis is CHUNKED (`pch` columns per lax.scan step): the
+    vmapped epistasis covariate tensor e is (tile, n, pch), so HBM holds
+    one chunk's working set instead of the whole (tile, n, m) block — a
+    61 GB allocation at the yeast shape before this chunking (the blockwise
+    decomposition SURVEY §5 prescribes for the m x m scan).
+
     anchors_padded/avalid: (n_tiles*TA,) anchor ids and validity mask
     (padding anchors duplicate the last anchor and are masked out).  Returns
     (count, snp_0, snp_1, eff, var, chi) with fixed capacity `cap`; the
-    caller re-invokes with a larger cap when count > cap.  Compaction is the
-    same int32 prefix-sum + scatter as the screen's
-    (`screen.py:_screen_tile_body`) — under the package-global x64 mode
-    `jnp.nonzero` emits int64 index math, which Mosaic rejects and TPUs
-    emulate slowly."""
+    caller re-invokes with a larger cap when count > cap.  Compaction is an
+    int32 prefix-sum + scatter (`jnp.nonzero` under the package-global x64
+    mode emits int64 index math, which TPUs emulate slowly)."""
     anchor_cols = jax.lax.dynamic_slice_in_dim(anchors_padded, tstart, tile)
     row_valid = jax.lax.dynamic_slice_in_dim(avalid, tstart, tile)
-    eff, var = jax.vmap(_one_anchor, in_axes=(0, None, None, None, None))(
-        anchor_cols, mat0, mat1, pymat, pvpmat
-    )
-    chi = eff * eff / var  # (TA, m); 0/0 -> NaN -> never a hit
     m = mat1.shape[1]
-    j_ids = jnp.arange(m, dtype=jnp.int32)[None, :]
-    valid = row_valid[:, None]
-    if triangular:
-        valid = valid & (j_ids > anchor_cols[:, None])
-    hit = (chi > chi_crit) & valid
-    flat = hit.ravel()
-    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    count = pos[-1] + 1
-    dest = jnp.where(flat, pos, cap)  # non-hits land in the spare slot
-    flat_idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
-    buf = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(flat_idx, mode="drop")
-    sel = buf[:cap]
-    rows = sel // m
-    cols = sel % m
-    return (count, anchor_cols[rows], cols, eff[rows, cols], var[rows, cols],
-            chi[rows, cols])
+    pch = min(pch or m, m)
+    n_chunks = -(-m // pch)
+    mat1_p = mat1
+    if n_chunks * pch != m:
+        # zero partner columns: var 0 -> chi NaN -> never a hit; the
+        # explicit j < m mask below also covers keep-all negative crits
+        mat1_p = jnp.pad(mat1, ((0, 0), (0, n_chunks * pch - m)))
+    jt = jnp.arange(pch, dtype=jnp.int32)
+
+    def step(carry, pc):
+        bufs, total = carry
+        pstart = pc * pch
+        mat1_c = jax.lax.dynamic_slice_in_dim(mat1_p, pstart, pch, axis=1)
+        eff, var = jax.vmap(_one_anchor_chunk,
+                            in_axes=(0, None, None, None, None))(
+            anchor_cols, mat0, mat1_c, pymat, pvpmat)
+        chi = eff * eff / var  # (TA, pch); 0/0 -> NaN -> never a hit
+        j_ids = (pstart + jt)[None, :]
+        valid = row_valid[:, None] & (j_ids < jnp.int32(m))
+        if triangular:
+            valid = valid & (j_ids > anchor_cols[:, None])
+        hit = (chi > chi_crit) & valid
+        flat = hit.ravel()
+        pos = jnp.cumsum(flat.astype(jnp.int32)) - 1 + total
+        dest = jnp.where(flat, jnp.minimum(pos, cap), cap)
+        bi, bj, be, bv, bc = bufs
+        bi = bi.at[dest].set(
+            jnp.broadcast_to(anchor_cols[:, None], hit.shape).ravel(),
+            mode="drop")
+        bj = bj.at[dest].set(jnp.broadcast_to(j_ids, hit.shape).ravel(),
+                             mode="drop")
+        be = be.at[dest].set(eff.ravel(), mode="drop")
+        bv = bv.at[dest].set(var.ravel(), mode="drop")
+        bc = bc.at[dest].set(chi.ravel(), mode="drop")
+        return ((bi, bj, be, bv, bc), pos[-1] + 1), None
+
+    dtype = mat0.dtype
+    zero = tstart * 0  # device-varying under shard_map (carry-type match)
+    init_bufs = (jnp.zeros((cap + 1,), jnp.int32) + zero,
+                 jnp.zeros((cap + 1,), jnp.int32) + zero,
+                 jnp.zeros((cap + 1,), dtype) + zero.astype(dtype),
+                 jnp.zeros((cap + 1,), dtype) + zero.astype(dtype),
+                 jnp.zeros((cap + 1,), dtype) + zero.astype(dtype))
+    ((bi, bj, be, bv, bc), count), _ = jax.lax.scan(
+        step, (init_bufs, zero), jnp.arange(n_chunks, dtype=jnp.int32))
+    return count, bi[:cap], bj[:cap], be[:cap], bv[:cap], bc[:cap]
 
 
-@partial(jax.jit, static_argnames=("triangular", "tile", "cap"))
+def _one_anchor_chunk(a_col, mat0, mat1_c, pymat, pvpmat):
+    e = mat0[:, a_col][:, None] * mat1_c  # (n, pch)
+    eff = e.T @ pymat
+    var = jnp.sum(e * (pvpmat @ e), axis=0)
+    return eff, var
+
+
+@partial(jax.jit, static_argnames=("triangular", "tile", "cap", "pch"))
 def _anchor_tiles_batch(tstarts, anchors_padded, avalid, mat0, mat1, pymat,
-                        pvpmat, chi_crit, triangular, tile, cap):
+                        pvpmat, chi_crit, triangular, tile, cap, pch=None):
     """ONE dispatch for a batch of anchor tiles: lax.map of
     `_anchor_hits_body` over the (K,) tile starts."""
 
     def one(tstart):
         return _anchor_hits_body(tstart, anchors_padded, avalid, mat0, mat1,
                                  pymat, pvpmat, chi_crit, triangular, tile,
-                                 cap)
+                                 cap, pch)
 
     return jax.lax.map(one, tstarts)
 
 
 def _anchor_tiles_mesh(mesh, tstarts, anchors_padded, avalid, mat0, mat1,
-                       pymat, pvpmat, chi_crit, triangular, tile, cap):
+                       pymat, pvpmat, chi_crit, triangular, tile, cap,
+                       pch=None):
     """Exact-scan tiles over a device mesh: the tile list is sharded over
     the mesh axis, genotype codings and pymat/pvpmat replicated.  Each
     device runs the SAME per-tile math as the single-device path, so the
@@ -142,7 +180,7 @@ def _anchor_tiles_mesh(mesh, tstarts, anchors_padded, avalid, mat0, mat1,
     def kernel(ts, ap, av, m0, m1, py, pvp):
         def one(tstart):
             return _anchor_hits_body(tstart, ap, av, m0, m1, py, pvp,
-                                     chi_crit, triangular, tile, cap)
+                                     chi_crit, triangular, tile, cap, pch)
 
         return jax.lax.map(one, ts)
 
@@ -236,6 +274,16 @@ def _scan_anchors_impl(mat0, mat1, pieces, snp_lst_0, num_snp, triangular,
         # the fixed-capacity buffer stays ~4M slots and stream more tile
         # groups instead.
         tile = max(8, min(tile, (1 << 22) // max(1, num_snp)))
+    # partner-chunk budget: the vmapped per-tile covariate tensor holds
+    # ~3 copies of (tile, n, pch); bound that working set at ~6 GB so wide
+    # panels (yeast: 61 GB un-chunked) stream instead of OOMing HBM
+    m_partner = mat1.shape[1]
+    per_col = mat0.shape[0] * 3 * np.dtype(mat0.dtype).itemsize
+    max_cols = max(4096, int((6 << 30) // per_col))
+    pch = None
+    if tile * m_partner > max_cols:
+        tile = max(8, min(tile, max_cols // 4096))
+        pch = max(1024, min(m_partner, max_cols // tile))
     n_tiles = -(-len(anchors) // tile)
     n_tiles_pad = -(-n_tiles // ndev) * ndev
     padded_all = np.pad(anchors, (0, n_tiles_pad * tile - len(anchors)),
@@ -257,11 +305,12 @@ def _scan_anchors_impl(mat0, mat1, pieces, snp_lst_0, num_snp, triangular,
                 out = _anchor_tiles_mesh(mesh, tstarts, padded_d, avalid_d,
                                          mat0, mat1, pieces.pymat,
                                          pieces.pvpmat, chi_crit, triangular,
-                                         tile, cap0)
+                                         tile, cap0, pch)
             else:
                 out = _anchor_tiles_batch(tstarts, padded_d, avalid_d, mat0,
                                           mat1, pieces.pymat, pieces.pvpmat,
-                                          chi_crit, triangular, tile, cap0)
+                                          chi_crit, triangular, tile, cap0,
+                                          pch)
             counts = np.asarray(out[0])
             arrs = [np.asarray(a) for a in out[1:]]
             for k in range(min(ndev, n_tiles - g)):
@@ -273,7 +322,7 @@ def _scan_anchors_impl(mat0, mat1, pieces, snp_lst_0, num_snp, triangular,
                     sub = _anchor_tiles_batch(
                         tstarts[k:k + 1], padded_d, avalid_d, mat0, mat1,
                         pieces.pymat, pieces.pvpmat, chi_crit, triangular,
-                        tile, cap)
+                        tile, cap, pch)
                     count = int(np.asarray(sub[0])[0])
                     row = [np.asarray(a)[0, :count] for a in sub[1:]]
                 else:
@@ -281,6 +330,11 @@ def _scan_anchors_impl(mat0, mat1, pieces, snp_lst_0, num_snp, triangular,
                 if count == 0:
                     continue
                 i_sel, j_sel, eff, var, chi = row
+                # chunked extraction emits hits chunk-major; restore the
+                # canonical (anchor, partner) row order of the reference
+                order = np.lexsort((j_sel, i_sel))
+                i_sel, j_sel = i_sel[order], j_sel[order]
+                eff, var, chi = eff[order], var[order], chi[order]
                 n_hits += count
                 df = pd.DataFrame(
                     {

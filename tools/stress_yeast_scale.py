@@ -87,5 +87,65 @@ def main():
     print("hit verification OK")
 
 
+def keep_all():
+    """Keep-everything cliffs at yeast shape (VERDICT round-2 item 7).
+
+    (a) exact scan with p_cut>=1 over an anchor subset: the fixed-capacity
+        hit buffer must be bounded by the shrunken anchor tile, not
+        tile*num_snp (~231M slots before the fix);
+    (b) screen with a keep-all negative cut over one anchor tile: the dense
+        extraction path must fetch raw panels instead of allocating
+        panel-sized compaction buffers.
+    Run with --keep-all; peak RSS is reported to prove the memory bound.
+    """
+    import resource
+
+    import jax.numpy as jnp
+
+    from gmat_tpu.scan.pairs import _scan_anchors
+    from gmat_tpu.scan.screen import _run_screen
+
+    rng = np.random.default_rng(0)
+    freqs = rng.uniform(0.05, 0.95, size=N_SNP)
+    geno = rng.binomial(2, freqs[None, :], size=(N_ID, N_SNP)).astype(np.float32)
+    p_hat = geno.sum(0) / (2 * N_ID)
+    mat = np.asarray(geno - 2 * p_hat[None, :], dtype=np.float32)
+    py = (rng.standard_normal(N_ID) * 0.02).astype(np.float32)
+    a = rng.standard_normal((N_ID, N_ID)).astype(np.float32) * 0.01
+    pvp = np.asarray(a @ a.T + np.eye(N_ID, dtype=np.float32))
+
+    from types import SimpleNamespace
+    import tempfile
+
+    pieces = SimpleNamespace(pymat=jnp.asarray(py), pvpmat=jnp.asarray(pvp))
+    n_anchor = 300
+    t0 = time.perf_counter()
+    out = tempfile.mktemp()
+    _scan_anchors(jnp.asarray(mat), jnp.asarray(mat), pieces,
+                  range(n_anchor), N_SNP, True, p_cut=1.1, out_file=out)
+    rows = sum(1 for _ in open(out)) - 1
+    want = sum(N_SNP - 1 - a_ for a_ in range(n_anchor))
+    assert rows == want, (rows, want)
+    print(f"keep-all exact scan: {n_anchor} anchors -> {rows:,} rows in "
+          f"{time.perf_counter()-t0:.1f} s")
+
+    anchors = np.arange(4096, dtype=np.int32)
+    bins = np.zeros(N_SNP, dtype=np.int64)
+    table = np.full(111, -999.0, dtype=np.float32)  # accel.py keep-all cut
+    t0 = time.perf_counter()
+    i0, i1, eff = _run_screen(jnp.asarray(mat), jnp.asarray(mat),
+                              jnp.asarray(py), anchors, bins, bins, table,
+                              "tri", 4096)
+    want = sum(N_SNP - 1 - a_ for a_ in range(4096))
+    assert len(i0) == want, (len(i0), want)
+    print(f"keep-all screen: 4096 anchors -> {len(i0):,} hits in "
+          f"{time.perf_counter()-t0:.1f} s")
+    peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(f"peak host RSS: {peak_gb:.1f} GB")
+
+
 if __name__ == "__main__":
-    main()
+    if "--keep-all" in sys.argv:
+        keep_all()
+    else:
+        main()

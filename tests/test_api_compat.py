@@ -154,6 +154,7 @@ def test_legacy_DD_select_and_AD_eff(tmp_path, legacy_setup, mouse_prefix):
     np.testing.assert_allclose(out[k, 2], direct, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_maf_eff_parallel_union_matches_serial(tmp_path, legacy_setup,
                                                mouse_pheno, mouse_prefix):
     """Two maf_eff shards must union to the serial run (same thresholds)."""
@@ -182,6 +183,7 @@ def test_maf_eff_parallel_union_matches_serial(tmp_path, legacy_setup,
     assert len(got) > 0
 
 
+@pytest.mark.slow
 def test_AD_maf_eff_parallel_union_matches_serial(tmp_path, legacy_setup,
                                                   mouse_pheno, mouse_prefix):
     """AD maf shards must cap anchors at num_snp-1 (the maf engine's own

@@ -96,6 +96,7 @@ def test_cli_remma_add(work, var_file):
     assert {"eff_val", "eff_val_to_fixed", "p_val"} <= set(res.columns)
 
 
+@pytest.mark.slow
 def test_cli_epiaa_exact_and_parallel(work, var_file):
     tmp, prefix, pheno = work
     out = str(tmp / "epiAA_cli")

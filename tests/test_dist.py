@@ -98,6 +98,7 @@ def file_setup(mouse_geno):
     return [ag, ag * ag], var
 
 
+@pytest.mark.slow
 def test_file_exact_scan_mesh_byte_identical(tmp_path, mesh, file_setup,
                                              mouse_pheno, mouse_prefix):
     """The file-level exact scan on the 8-device mesh must produce the SAME
@@ -142,6 +143,7 @@ def test_file_screen_mesh_byte_identical(tmp_path, mesh, file_setup,
     assert len(single.splitlines()) > 10
 
 
+@pytest.mark.slow
 def test_file_approx_pipeline_mesh_byte_identical(tmp_path, mesh, file_setup,
                                                   mouse_pheno, mouse_prefix):
     """The flagship remma_epiAA_approx pipeline end-to-end on the mesh."""
@@ -158,6 +160,7 @@ def test_file_approx_pipeline_mesh_byte_identical(tmp_path, mesh, file_setup,
     assert len(single.splitlines()) > 5
 
 
+@pytest.mark.slow
 def test_approx_pipeline_shards_all_stages(tmp_path, mesh, file_setup,
                                            mouse_pheno, mouse_prefix,
                                            monkeypatch):

@@ -68,6 +68,7 @@ def _assert_table(tab, gold, name, m, kind):
                                atol=1e-300, err_msg=f"{name}: f64 subset p")
 
 
+@pytest.mark.slow
 def test_full_epiAA_table(tmp_path, full_setup, mouse_geno, mouse_pheno,
                           mouse_prefix):
     from gmat_tpu.scan.pairs import remma_epiAA
@@ -79,6 +80,7 @@ def test_full_epiAA_table(tmp_path, full_setup, mouse_geno, mouse_pheno,
     _assert_table(_load_table(out), gold, "aa", mouse_geno.shape[1], "aa")
 
 
+@pytest.mark.slow
 def test_full_epiAD_table(tmp_path, full_setup, mouse_geno, mouse_pheno,
                           mouse_prefix):
     from gmat_tpu.scan.pairs import remma_epiAD
@@ -90,6 +92,7 @@ def test_full_epiAD_table(tmp_path, full_setup, mouse_geno, mouse_pheno,
     _assert_table(_load_table(out), gold, "ad", mouse_geno.shape[1], "ad")
 
 
+@pytest.mark.slow
 def test_full_epiDD_table(tmp_path, full_setup, mouse_geno, mouse_pheno,
                           mouse_prefix):
     from gmat_tpu.scan.pairs import remma_epiDD

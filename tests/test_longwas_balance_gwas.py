@@ -77,6 +77,7 @@ def test_trans_full_panel_smoke(setup, tmp_path):
     assert (res["p_val"] >= 0).all() and (res["p_val"] <= 1).all()
 
 
+@pytest.mark.slow
 def test_fixed_golden(setup, tmp_path):
     kin_file, var_df, _ = setup
     res = balance_longwas_fixed(

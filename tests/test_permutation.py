@@ -93,6 +93,7 @@ def test_balance_trans_permutation_golden_and_determinism(setup, gold,
         (tmp_path / "btp.0").read_bytes()
 
 
+@pytest.mark.slow
 def test_balance_fixed_permutation_golden(setup, gold, tmp_path):
     from gmat_tpu.longwas.balance_gwas import balance_longwas_fixed_permutation
 

@@ -147,16 +147,10 @@ def bench_exact_scan(jax, jnp, rng):
     from gmat_tpu.scan.pairs import _anchor_tiles_batch
 
     n, m = 1304, 1407
-    mat_np = _panel(rng, n, m)
-    py_np = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    mat = jnp.asarray(_panel(rng, n, m))
+    py = jnp.asarray((rng.standard_normal(n) * 0.1).astype(np.float32))
     a = rng.standard_normal((n, n)).astype(np.float32) * 0.01
-    pvp_np = a @ a.T + np.eye(n, dtype=np.float32)
-    # zero-pad the individual axis to 1408 like the production driver
-    # (scan/pairs.py): numerically exact, ~20% faster GEMM (BASELINE_sol)
-    n_pad = 1408
-    mat = jnp.asarray(np.pad(mat_np, ((0, n_pad - n), (0, 0))))
-    py = jnp.asarray(np.pad(py_np, (0, n_pad - n)))
-    pvp = jnp.asarray(np.pad(pvp_np, ((0, n_pad - n), (0, n_pad - n))))
+    pvp = jnp.asarray(a @ a.T + np.eye(n, dtype=np.float32))
     tile = 128
     anchors = np.arange(m - 1, dtype=np.int32)
     n_tiles = -(-len(anchors) // tile)

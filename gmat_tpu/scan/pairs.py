@@ -90,6 +90,31 @@ def _anchor_hits_body(tstart, anchors_padded, avalid, mat0, mat1, pymat,
     m = mat1.shape[1]
     pch = min(pch or m, m)
     n_chunks = -(-m // pch)
+    if n_chunks == 1:
+        # single-chunk fast path: ONE flat-index scatter + value gathers
+        # (the streaming form's five per-chunk scatters measured 50 vs
+        # 78 TF/s at the mouse shape)
+        eff, var = jax.vmap(_one_anchor_chunk,
+                            in_axes=(0, None, None, None, None))(
+            anchor_cols, mat0, mat1, pymat, pvpmat)
+        chi = eff * eff / var  # (TA, m); 0/0 -> NaN -> never a hit
+        j_ids = jnp.arange(m, dtype=jnp.int32)[None, :]
+        valid = row_valid[:, None]
+        if triangular:
+            valid = valid & (j_ids > anchor_cols[:, None])
+        hit = (chi > chi_crit) & valid
+        flat = hit.ravel()
+        pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+        count = pos[-1] + 1
+        dest = jnp.where(flat, pos, cap)
+        flat_idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
+        buf = jnp.zeros((cap + 1,), jnp.int32).at[dest].set(flat_idx,
+                                                            mode="drop")
+        sel = buf[:cap]
+        rows = sel // m
+        cols = sel % m
+        return (count, anchor_cols[rows], cols, eff[rows, cols],
+                var[rows, cols], chi[rows, cols])
     mat1_p = mat1
     if n_chunks * pch != m:
         # zero partner columns: var 0 -> chi NaN -> never a hit; the
@@ -245,22 +270,10 @@ def _scan_anchors_impl(mat0, mat1, pieces, snp_lst_0, num_snp, triangular,
                            "takes over for this process", exc)
             _pk.disable_pallas()
     ndev = int(mesh.devices.size) if mesh is not None else 1
-    # TPU: pad the individual axis to a 128 multiple with zero rows — the
-    # pair-variance GEMM at n=1408 runs 24% faster than at n=1304 (measured,
-    # tools/bench_sol.py).  Zero rows add exact zeros to every eff/var sum;
-    # CPU keeps the unpadded shapes so f64 goldens stay bit-stable.
-    n_id = mat0.shape[0]
-    n_pad = -(-n_id // 128) * 128
-    if n_pad != n_id and jax.default_backend() == "tpu":
-        rp = ((0, n_pad - n_id), (0, 0))
-        mat0, mat1 = jnp.pad(mat0, rp), jnp.pad(mat1, rp)
-        from types import SimpleNamespace
-
-        pieces = SimpleNamespace(
-            pymat=jnp.pad(pieces.pymat, (0, n_pad - n_id)),
-            pvpmat=jnp.pad(pieces.pvpmat,
-                           ((0, n_pad - n_id), (0, n_pad - n_id))),
-        )
+    # (Zero-padding the individual axis to a 128 multiple was measured
+    # NEUTRAL in this batched-vmap kernel — tools/bench_sol.py's +24% at
+    # n=1408 only holds for plain output-materializing matmuls — so the
+    # shapes stay unpadded.)
     # shrink the tile when the anchor list is small so padding anchors
     # (duplicates of the last anchor, masked from the output but not from
     # the GEMM) never dominate the FLOPs; per-anchor results are

@@ -702,8 +702,9 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
     # dense-per-row hit profile flags most visits back to it anyway
     # (measured at the yeast shape: 26/28 visits flagged), so small scans
     # keep the two-phase engine
-    use_fused = (os.environ.get("GMAT_TPU_SCREEN", "fused") == "fused"
-                 and len(work) >= 128)
+    screen_mode = os.environ.get("GMAT_TPU_SCREEN", "fused")
+    use_fused = (screen_mode == "fused-always"
+                 or (screen_mode == "fused" and len(work) >= 128))
     fused_slices = None  # per-visit (start, count) into the fetched buffers
     fused_bufs = None
     flags = None

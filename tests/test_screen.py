@@ -278,3 +278,43 @@ def test_maf_approx_bin_files_AD_DD(tmp_path, mouse_pheno, mouse_prefix,
     assert not os.path.exists(out_dd + ".freq")
     np.testing.assert_allclose(np.loadtxt(out_dd + ".heter"), freq_d,
                                rtol=1e-10)
+
+
+def test_fused_flag_salvage_merge(rng):
+    """A visit with a >KROW-hit row must flag and re-extract via the legacy
+    engine while UNFLAGGED visits' fused hits are kept — the merged output
+    must equal the brute-force hit set exactly (screen.py round-3 fused
+    engine's salvage path)."""
+    import jax.numpy as jnp
+
+    from gmat_tpu.scan import screen as sc
+
+    n, m = 32, 512  # tile 128 -> 4 anchor tiles, 10 triangular visits
+    geno = rng.choice([0.0, 1.0, 2.0], size=(n, m))
+    mat = np.asarray(geno - geno.mean(0, keepdims=True), dtype=np.float32)
+    py = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    eff = (mat * py[:, None]).T @ mat
+    iu = np.triu_indices(m, 1)
+    # cut so that anchor 7 has MANY hits (flag) but others stay sparse:
+    # scale one anchor's column to inflate a whole row of |eff|
+    mat[:, 7] *= 50.0
+    eff = (mat * py[:, None]).T @ mat
+    cut = float(np.quantile(np.abs(eff[iu]), 0.995))
+    n_row7 = int(np.sum((np.abs(eff[7, 8:]) > cut)))
+    assert n_row7 > sc._KROW, "fixture must overflow the per-row budget"
+    anchors = np.arange(m - 1, dtype=np.int32)
+    bins = np.zeros(m, dtype=np.int64)
+    table = np.full(111, cut)
+    # force the fused path despite the short worklist
+    import unittest.mock as mock
+
+    with mock.patch.dict("os.environ", {"GMAT_TPU_SCREEN": "fused-always"}):
+        i0, i1, e = sc._run_screen(jnp.asarray(mat), jnp.asarray(mat),
+                                   jnp.asarray(py), anchors, bins, bins,
+                                   table, "tri", 128)
+    want = {(a, b) for a, b in zip(*np.where(
+        (np.abs(eff) > cut)
+        & (np.arange(m)[None, :] > np.arange(m)[:, None])))}
+    assert set(zip(i0.tolist(), i1.tolist())) == want
+    # canonical order
+    assert np.all(np.lexsort((i1, i0)) == np.arange(len(i0)))

@@ -282,8 +282,8 @@ def _exact_kernel_factory(TJ, K, mask_mode, m0_true, m1_true):
     return kernel
 
 
-def pallas_exact_scan(mat0, mat1, py, pvp, chi_crit, mask_mode="tri",
-                      K=128, TJ=256, interpret: bool = False):
+def _pallas_exact_device(mat0, mat1, py, pvp, chi_crit, mask_mode="tri",
+                         K=128, TJ=256, interpret: bool = False):
     """Fused exact-scan: eff + pair-variance GEMM + chi threshold + in-VMEM
     compaction, one Pallas program (SURVEY §3.3 north-star kernel; reference
     C analogue _remma_epi_eff_cpu.c:91-137 computes eff only — the variance
@@ -360,27 +360,68 @@ def pallas_exact_scan(mat0, mat1, py, pvp, chi_crit, mask_mode="tri",
                     mat0.T, mat1.T,
                     py.astype(jnp.float32)[:, None],
                     pvp.astype(jnp.float32))
+    return outs  # device arrays: cnt (m0p, n_pt*128), 4x (m0p, n_pt*K)
+
+
+def pallas_exact_scan(mat0, mat1, py, pvp, chi_crit, mask_mode="tri",
+                      K=128, TJ=256, interpret: bool = False):
+    """Numpy view of `_pallas_exact_device` (tests / ad-hoc use):
+    (counts (m0p, n_pt), cols/effs/vars/chis (m0p, n_pt, K))."""
+    outs = _pallas_exact_device(mat0, mat1, py, pvp, chi_crit, mask_mode,
+                                K, TJ, interpret)
+    if not interpret:
+        K = max(128, -(-K // 128) * 128)
+    m0p = outs[0].shape[0]
+    n_pt = outs[0].shape[1] // 128
     cnt = np.asarray(outs[0]).reshape(m0p, n_pt, 128)[:, :, 0]
     packed = [np.asarray(o).reshape(m0p, n_pt, K) for o in outs[1:]]
     return (cnt, *packed)
 
 
+@partial(jax.jit, static_argnames=("cap", "row_span"))
+def _compact_exact_outputs(cnt, cols, effs, vars_, chis, cap, row_span):
+    """Device-side compaction of the exact-kernel outputs: the host fetches
+    buf[:total] (O(hits) bytes) plus two scalars instead of five dense
+    (m0p, n_pt*K) panels — the tunneled device moves ~13 MB/s, so panel
+    fetches would dominate the whole scan."""
+    keep = (cols >= 0).ravel()
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    total = pos[-1] + 1
+    dest = jnp.where(keep, jnp.minimum(pos, cap), cap)
+    rows = (jnp.arange(cols.size, dtype=jnp.int32)
+            // jnp.int32(row_span)).astype(jnp.float32)
+    stacked = jnp.stack(
+        [rows, cols.ravel().astype(jnp.float32), effs.ravel(),
+         vars_.ravel(), chis.ravel()], axis=1)
+    buf = jnp.zeros((cap + 1, 5), jnp.float32).at[dest, :].set(
+        stacked, mode="drop")
+    return buf, total, jnp.max(cnt)
+
+
 def pallas_exact_hits(mat0, mat1, py, pvp, chi_crit, mask_mode="tri",
                       K=128, TJ=256, interpret: bool = False):
     """Host assembly over `pallas_exact_scan` with cap-retry: returns
-    (i, j, eff, var, chi) numpy arrays of every chi > chi_crit pair."""
+    (i, j, eff, var, chi) numpy arrays of every chi > chi_crit pair,
+    fetching O(hits) bytes via on-device compaction."""
+    cap = 1 << 20
     while True:
-        cnt, cols, effs, vars_, chis = pallas_exact_scan(
+        cnt, cols, effs, vars_, chis = _pallas_exact_device(
             mat0, mat1, py, pvp, chi_crit, mask_mode, K, TJ, interpret)
-        mx = int(cnt.max()) if cnt.size else 0
-        if mx <= K:
-            break
-        K = 1 << (mx - 1).bit_length()  # one retry always suffices: the
-        # true per-(row, tile) hit count bounds every later extraction
-    keep = cols >= 0
-    ridx, _, _ = np.nonzero(keep)
-    return (ridx.astype(np.int64), cols[keep].astype(np.int64), effs[keep],
-            vars_[keep], chis[keep])
+        row_span = cols.shape[1]
+        with _x32():
+            buf, total_d, mx_d = _compact_exact_outputs(
+                cnt, cols, effs, vars_, chis, cap, row_span)
+        mx, total = int(mx_d), int(total_d)
+        if mx > K:
+            K = 1 << (mx - 1).bit_length()  # one retry always suffices:
+            # the true per-(row, tile) count bounds every later extraction
+            continue
+        if total > cap:
+            cap = 1 << (total - 1).bit_length()
+            continue
+        raw = np.asarray(buf[:total])
+        return (raw[:, 0].astype(np.int64), raw[:, 1].astype(np.int64),
+                raw[:, 2], raw[:, 3], raw[:, 4])
 
 
 def _screen_extract_factory(K, m_true):

@@ -42,11 +42,10 @@ _PROBE_CACHE: bool | None = None
 
 
 def mosaic_probe() -> bool:
-    """Cached try-compile+run of a trivial Mosaic kernel on the default
-    backend.  On this machine's tunneled TPU the remote-compile service
-    rejects Mosaic programs (CLAUDE.md); when that env is fixed this probe
-    starts returning True with zero code changes and the screen/scan
-    engines switch over (VERDICT round-2 item 5)."""
+    """Cached compile+run of the REAL count kernel on tiny shapes, checked
+    against a known count.  Passes on this machine's tunneled TPU since
+    round 3 (x32 tracing + lane-legal blocks, see `_x32` and CLAUDE.md);
+    gates the GMAT_TPU_ENGINE=pallas opt-in."""
     global _PROBE_CACHE
     if _PROBE_CACHE is not None:
         return _PROBE_CACHE

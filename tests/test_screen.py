@@ -318,3 +318,40 @@ def test_fused_flag_salvage_merge(rng):
     assert set(zip(i0.tolist(), i1.tolist())) == want
     # canonical order
     assert np.all(np.lexsort((i1, i0)) == np.arange(len(i0)))
+
+
+def test_fused_maf_cut_panel(rng):
+    """The fused engine's per-pair MAF threshold branch (one-hot cut
+    panels, flat_cut=False) must match a brute-force per-bin-pair
+    threshold test exactly."""
+    import unittest.mock as mock
+
+    import jax.numpy as jnp
+
+    from gmat_tpu.scan import screen as sc
+
+    n, m = 32, 384
+    geno = rng.choice([0.0, 1.0, 2.0], size=(n, m))
+    mat = np.asarray(geno - geno.mean(0, keepdims=True), dtype=np.float32)
+    py = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    eff = (mat * py[:, None]).T @ mat
+    bins_a = rng.integers(0, 10, size=m).astype(np.int64)
+    bins_b = rng.integers(0, 10, size=m).astype(np.int64)
+    base = float(np.quantile(np.abs(eff[np.triu_indices(m, 1)]), 0.97))
+    # unused bin-pair entries must stay FINITE: the one-hot cut matmul
+    # (both engines) turns 0*inf into NaN cuts for every real pair
+    table = np.full(111, 1e30)
+    for ka in range(10):
+        for kb in range(10):
+            table[ka * 10 + kb] = base * (0.6 + 0.08 * ((ka + kb) % 6))
+    anchors = np.arange(m - 1, dtype=np.int32)
+    with mock.patch.dict("os.environ", {"GMAT_TPU_SCREEN": "fused-always"}):
+        i0, i1, e = sc._run_screen(jnp.asarray(mat), jnp.asarray(mat),
+                                   jnp.asarray(py), anchors, bins_a, bins_b,
+                                   table, "tri", 128)
+    cuts = table[bins_a[:, None] * 10 + bins_b[None, :]]
+    want = {(a, b) for a, b in zip(*np.where(
+        (np.abs(eff) > cuts)
+        & (np.arange(m)[None, :] > np.arange(m)[:, None])))}
+    assert len(want) > 50
+    assert set(zip(i0.tolist(), i1.tolist())) == want

@@ -19,8 +19,20 @@ TPU-first engine: the screen effect for a whole anchor tile is one GEMM,
 computed in float32 on the MXU (the screen is a threshold test; survivors are
 re-tested exactly in float64 — mirroring the reference's own
 screen-then-exact design, which tolerates screening error by construction).
-Hits are compacted per anchor tile with a fixed-capacity `nonzero`; the
-anchor tiling is also the unit of multi-chip sharding.
+
+Round-3 FUSED engine (default for worklists >= 128 tile pairs): one
+dispatch both counts and extracts — per (anchor-tile, partner-tile) visit,
+KROW rounds of iterative argmax emit each row's hit columns and signed
+effects, per-visit buffers compact into one global device buffer, and the
+host fetches buffers[:total] (O(hits) bytes — the tunneled device moves
+~13 MB/s, so fetch bytes, not FLOPs, bound extraction).  Rows with > KROW
+hits flag their visit for re-extraction through the legacy two-phase
+engine (kept in full below: phase-1 counts + capacity-bucketed phase-2,
+plus a dense raw-panel path for keep-everything cuts).  The anchor/visit
+tiling is also the unit of multi-chip sharding, and per-visit math is
+identical on every topology, so mesh output is byte-identical.
+Env knobs: GMAT_TPU_SCREEN=fused|fused-always|two_phase, GMAT_TPU_KROW,
+GMAT_TPU_EXTRACT=topk|scatter (legacy phase-2), GMAT_TPU_ENGINE=pallas.
 """
 from __future__ import annotations
 

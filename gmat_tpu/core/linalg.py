@@ -19,6 +19,49 @@ def chol_inv_logdet(a):
     return inv, logdet
 
 
+def mixed_inv_psd(a, rounds: int = 2):
+    """(A⁻¹, log|A|) for SPD float64 A via an MXU-resident float32 Cholesky
+    plus `rounds` Newton refinement steps with split-precision residuals.
+
+    TPU-native twin of `chol_inv_logdet` for the REML O(n³) hot loop
+    (reference uvlmm_varcom.py:44-55).  On this TPU float64 matmuls are
+    emulated at ~f32 accuracy anyway (CLAUDE.md), so the factorization and
+    solves run in true float32 on the MXU (default_matmul_precision
+    "float32" = the 3-pass bf16 scheme) and accuracy is recovered by
+    Newton's method for the inverse,
+
+        W <- W + W (I - A W),
+
+    whose residual I - A W is computed against the split A = A1 + A2
+    (A1 = f32(A), A2 = f32(A - A1)) so the cancellation around I survives
+    at float64 resolution.  Per round the elementwise error contracts from
+    eps to ~eps² κ(A); two rounds from an f32 seed land near the f64 noise
+    floor for the κ ≲ 1e6 GRM mixtures REML produces.  The log-determinant
+    comes from the f32 factor — it only feeds the REPORTED -2logL, never
+    the update direction (wemai.py `_reml_step`).
+    """
+    import jax
+
+    n = a.shape[0]
+    a1 = a.astype(jnp.float32)
+    a2 = (a - a1).astype(jnp.float32)
+    with jax.default_matmul_precision("float32"):
+        c = cholesky(a1, lower=True)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(c)).astype(a.dtype))
+        w = cho_solve((c, True), jnp.eye(n, dtype=jnp.float32))
+        w = (0.5 * (w + w.T)).astype(a.dtype)
+        eye = jnp.eye(n, dtype=a.dtype)
+        for _ in range(rounds):
+            w1 = w.astype(jnp.float32)
+            w2 = (w - w1).astype(jnp.float32)
+            r = (eye - (a1 @ w1).astype(a.dtype)
+                 - (a1 @ w2).astype(a.dtype)
+                 - (a2 @ w1).astype(a.dtype))  # a2@w2 ~ eps² — dropped
+            w = w + (w1 @ r.astype(jnp.float32)).astype(a.dtype)
+        w = 0.5 * (w + w.T)
+    return w, logdet
+
+
 def projection_pieces(vinv, xmat):
     """P = V⁻¹ − V⁻¹X (XᵀV⁻¹X)⁻¹ XᵀV⁻¹ and log|XᵀV⁻¹X|.
 

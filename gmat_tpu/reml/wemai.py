@@ -20,6 +20,13 @@ TPU-first re-design inside one jitted step:
 
 The iteration loop stays on the host (compiled step reused every iteration)
 so per-round logging matches the reference's observability contract.
+
+Precision: on CPU the step runs float64 end-to-end (bit-level parity with
+the reference's fully-f64 math).  On TPU — where f64 is emulated and the
+O(n³) inverse would never touch the MXU — `precision="auto"` switches the
+inverse to `core.linalg.mixed_inv_psd` (f32 MXU Cholesky + split-precision
+Newton refinement) while every O(n²) reduction that shapes the update
+direction stays f64 elementwise.  GMAT_TPU_REML=mixed|f64 overrides.
 """
 from __future__ import annotations
 
@@ -31,7 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gmat_tpu import config  # noqa: F401
-from gmat_tpu.core.linalg import chol_inv_logdet, projection_pieces
+from gmat_tpu.core.linalg import (chol_inv_logdet, mixed_inv_psd,
+                                  projection_pieces)
 from gmat_tpu.io.pheno import DesignMatrices, design_matrix, design_matrix_pred
 
 logger = logging.getLogger(__name__)
@@ -42,13 +50,16 @@ def build_zgzt_stack(dm: DesignMatrices, gmat_lst) -> jnp.ndarray:
     return jnp.stack([dm.zgzt(g) for g in gmat_lst])
 
 
-@jax.jit
-def _reml_step(var_com, y, xmat, zg_stack):
+@partial(jax.jit, static_argnames=("mixed",))
+def _reml_step(var_com, y, xmat, zg_stack, mixed=False):
     n = y.shape[0]
     k = zg_stack.shape[0]
     vmat = jnp.einsum("k,kij->ij", var_com[:-1], zg_stack)
     vmat = vmat + var_com[-1] * jnp.eye(n, dtype=vmat.dtype)
-    vinv, ll_v = chol_inv_logdet(vmat)
+    # mixed: the O(n³) inverse runs as f32 Cholesky on the MXU + Newton
+    # refinement (core/linalg.mixed_inv_psd); every O(n²) reduction that
+    # shapes the update direction stays float64 elementwise
+    vinv, ll_v = mixed_inv_psd(vmat) if mixed else chol_inv_logdet(vmat)
     pmat, ll_xvx = projection_pieces(vinv, xmat)
     py = pmat @ y
     ll_val = -2.0 * (ll_v + ll_xvx + jnp.dot(y, py))
@@ -84,19 +95,37 @@ def _reml_step(var_com, y, xmat, zg_stack):
     return var_new, ll_val, cc_par, cc_gra, weights[idx]
 
 
+def _resolve_precision(precision: str) -> bool:
+    """True = mixed-precision (f32 MXU Cholesky + Newton refinement).
+
+    `precision`: "mixed", "f64", or "auto" (the default: mixed on TPU —
+    where f64 is emulated and the f64 path never touches the MXU — and
+    f64 elsewhere).  The GMAT_TPU_REML env var overrides the argument."""
+    import os
+
+    mode = os.environ.get("GMAT_TPU_REML", precision).lower()
+    if mode == "auto":
+        mode = "mixed" if jax.default_backend() == "tpu" else "f64"
+    if mode not in ("mixed", "f64"):
+        raise ValueError(f"unknown REML precision {mode!r}")
+    return mode == "mixed"
+
+
 def wemai_reml(dm: DesignMatrices, gmat_lst, init=None, maxiter: int = 200,
-               cc_par: float = 1.0e-8, cc_gra: float = 1.0e-6):
+               cc_par: float = 1.0e-8, cc_gra: float = 1.0e-6,
+               precision: str = "auto"):
     """Core REML driver; returns the converged variance-component vector."""
     k = len(gmat_lst)
     var_com = np.array(init, dtype=np.float64) if init is not None else np.ones(k + 1)
     y = jnp.asarray(dm.y)
     xmat = jnp.asarray(dm.xmat)
     zg = build_zgzt_stack(dm, gmat_lst)
+    mixed = _resolve_precision(precision)
     logger.info("Initial variances: %s", " ".join(map(str, var_com)))
     converged = False
     for it in range(1, maxiter + 1):
         var_new, ll_val, ccp, ccg, weight = _reml_step(
-            jnp.asarray(var_com), y, xmat, zg
+            jnp.asarray(var_com), y, xmat, zg, mixed=mixed
         )
         var_com = np.asarray(var_new)
         ccp, ccg = float(ccp), float(ccg)
@@ -115,12 +144,13 @@ def wemai_reml(dm: DesignMatrices, gmat_lst, init=None, maxiter: int = 200,
 def wemai_multi_gmat(pheno_file: str, bed_prefix: str, gmat_lst, init=None,
                      maxiter: int = 200, cc_par: float = 1.0e-8,
                      cc_gra: float = 1.0e-6,
-                     out_file: str = "wemai_multi_gmat.var"):
+                     out_file: str = "wemai_multi_gmat.var",
+                     precision: str = "auto"):
     """File-level wrapper; writes the variance vector (reference
     uvlmm_varcom.py:107-126)."""
     dm = design_matrix(pheno_file, bed_prefix)
     var_com = wemai_reml(dm, gmat_lst, init=init, maxiter=maxiter,
-                         cc_par=cc_par, cc_gra=cc_gra)
+                         cc_par=cc_par, cc_gra=cc_gra, precision=precision)
     np.savetxt(out_file, var_com)
     return var_com
 
@@ -141,7 +171,8 @@ def _blup_effects(var_com, y, xmat, zg_stack, gmat_stack, rec_ids, n_col):
 def wemai_multi_gmat_pred(pheno_file: str, bed_prefix: str, gmat_lst,
                           init=None, maxiter: int = 200, cc_par: float = 1.0e-8,
                           cc_gra: float = 1.0e-6,
-                          out_file: str = "wemai_multi_gmat_pred"):
+                          out_file: str = "wemai_multi_gmat_pred",
+                          precision: str = "auto"):
     """REML + BLUP of the random effects; writes `<out>.var` and
     `<out>.rand_eff`.
 
@@ -154,7 +185,7 @@ def wemai_multi_gmat_pred(pheno_file: str, bed_prefix: str, gmat_lst,
     """
     dm = design_matrix_pred(pheno_file, bed_prefix)
     var_com = wemai_reml(dm, gmat_lst, init=init, maxiter=maxiter,
-                         cc_par=cc_par, cc_gra=cc_gra)
+                         cc_par=cc_par, cc_gra=cc_gra, precision=precision)
     np.savetxt(out_file + ".var", var_com)
     rand_eff = _blup_effects(
         jnp.asarray(var_com),

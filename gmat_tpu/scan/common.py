@@ -20,9 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gmat_tpu.core.linalg import chol_inv_logdet, projection_pieces
+from gmat_tpu.core.linalg import (chol_inv_logdet, mixed_inv_psd,
+                                  projection_pieces)
 from gmat_tpu.io.pheno import DesignMatrices
-from gmat_tpu.reml.wemai import build_zgzt_stack
+from gmat_tpu.reml.wemai import _resolve_precision, build_zgzt_stack
 
 
 @dataclass(frozen=True)
@@ -31,12 +32,15 @@ class ScorePieces:
     pvpmat: jnp.ndarray  # (n_id, n_id)
 
 
-@partial(jax.jit, static_argnums=(5,))
-def _pieces_kernel(var_com, y, xmat, zg_stack, rec_ids, n_col):
+@partial(jax.jit, static_argnums=(5, 6))
+def _pieces_kernel(var_com, y, xmat, zg_stack, rec_ids, n_col, mixed=False):
     n = y.shape[0]
     vmat = jnp.einsum("k,kij->ij", var_com[:-1], zg_stack)
     vmat = vmat + var_com[-1] * jnp.eye(n, dtype=vmat.dtype)
-    vinv, _ = chol_inv_logdet(vmat)
+    # on TPU the f64 Cholesky is EMULATED at ~f32 accuracy (CLAUDE.md);
+    # the mixed path (f32 MXU Cholesky + split-precision Newton, see
+    # core/linalg.mixed_inv_psd) is both faster and closer to true f64
+    vinv, _ = mixed_inv_psd(vmat) if mixed else chol_inv_logdet(vmat)
     pmat, _ = projection_pieces(vinv, xmat)
     py = pmat @ y
     pymat = jax.ops.segment_sum(py, rec_ids, num_segments=n_col)
@@ -53,6 +57,7 @@ def score_pieces(dm: DesignMatrices, gmat_lst, var_com) -> ScorePieces:
         build_zgzt_stack(dm, gmat_lst),
         jnp.asarray(dm.rec_ids),
         dm.n_col,
+        _resolve_precision("auto"),
     )
     return ScorePieces(pymat=pymat, pvpmat=pvpmat)
 

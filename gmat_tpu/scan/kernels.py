@@ -66,8 +66,11 @@ def mosaic_probe() -> bool:
                           & (np.arange(256)[None, :] > np.arange(256)[:, None])))
         counts = np.asarray(pallas_screen_counts(
             jnp.asarray(mat_np), jnp.asarray(py_np), cut))
-        # bf16-compute GEMM on TPU: allow a small borderline band
-        _PROBE_CACHE = want > 0 and abs(int(counts.sum()) - want) <= want // 50
+        # bf16-compute GEMM on TPU: allow a small borderline band (never
+        # zero — a single borderline pair at the median cut must not flip
+        # the probe; ADVICE r3)
+        tol = max(1, want // 50)
+        _PROBE_CACHE = want > 0 and abs(int(counts.sum()) - want) <= tol
         if not _PROBE_CACHE:
             logger.info("Mosaic probe compiled but miscounted: %d != %d",
                         int(counts.sum()), want)

@@ -260,6 +260,11 @@ def _scan_anchors_impl(mat0, mat1, pieces, snp_lst_0, num_snp, triangular,
     if (choice != "xla" and mesh is None and triangular and chi_crit > 0
             and np.array_equal(anchors, np.arange(num_snp - 1))):
         try:
+            logger.warning(
+                "GMAT_TPU_ENGINE=pallas: the EXACT scan runs f32 with "
+                "bf16-compute MXU dots (~2e-4 rtol) instead of the repo's "
+                "exact-in-float64 convention; eff/chi/p in %s carry that "
+                "precision (MIGRATING.md)", out_file)
             return _scan_anchors_pallas(
                 mat0, mat1, pieces, num_snp, chi_crit, out_file,
                 interpret=(choice == "pallas-interpret"))

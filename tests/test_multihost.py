@@ -58,4 +58,30 @@ def test_two_process_cluster_grm(tmp_path):
     assert len(li) > 0, "screen cut produced no hits; test is vacuous"
     np.testing.assert_array_equal(got["hits_i"], li)
     np.testing.assert_array_equal(got["hits_j"], lj)
+
+    # the file-level PRODUCTION fused screen run on the 2-process cluster
+    # must be byte-identical to the same call without a mesh (VERDICT r3
+    # #5: multi-process coverage of the fused engine, not just the
+    # two-phase sharded_screen_hits path)
+    import pandas as pd
+
+    from gmat_tpu.grm.grm import additive_grm
+    from gmat_tpu.io.bed import write_bed
+    from gmat_tpu.scan.screen import remma_epiAA_eff
+
+    geno2 = got["geno2"]
+    prefix = str(tmp_path / "plink")
+    write_bed(prefix, geno2)
+    fam = pd.read_csv(prefix + ".fam", sep=r"\s+", header=None, dtype=str)
+    with open(tmp_path / "pheno", "w") as f:
+        for (f0, i0), yv in zip(fam[[0, 1]].to_numpy(), got["yvec"]):
+            f.write(f"{f0} {i0} 1 {yv:.8f}\n")
+    ag = np.asarray(additive_grm(jnp.asarray(geno2)))
+    eff_file = str(tmp_path / "epiAA_eff")
+    remma_epiAA_eff(str(tmp_path / "pheno"), prefix, [ag], [0.5, 0.5],
+                    var_app=float(got["var_app"]), p_cut=1e-5,
+                    out_file=eff_file, mesh=None)
+    local = Path(eff_file).read_bytes()
+    assert len(local.splitlines()) > 10, "screen found no hits; vacuous"
+    assert got["eff_table"].tobytes() == local
     np.testing.assert_array_equal(got["hits_e"], le)

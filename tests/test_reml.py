@@ -60,6 +60,40 @@ def test_reml_matches_reference(mouse_pheno, mouse_prefix, grms, key, build):
     np.testing.assert_allclose(var, gold, rtol=1e-6, atol=1e-10)
 
 
+@pytest.mark.parametrize(
+    "key,build",
+    [
+        ("a_axa", lambda ag, dg: [ag, ag * ag]),
+        ("a_d_axa", lambda ag, dg: [ag, dg, ag * ag]),
+        ("a_d_axa_axd_dxd",
+         lambda ag, dg: [ag, dg, ag * ag, ag * dg, dg * dg]),
+    ],
+)
+def test_reml_mixed_precision_parity(mouse_pheno, mouse_prefix, grms, key,
+                                     build):
+    """The TPU mixed-precision path (f32 MXU Cholesky + split-precision
+    Newton refinement, core/linalg.mixed_inv_psd) must land on the same
+    variance components as the f64 path AND the reference golden at the
+    f64 path's own tolerance (VERDICT r3 #3)."""
+    gold = np.load(GOLDEN / "reml_var.npz")[key]
+    ag, dg = grms
+    dm = design_matrix(mouse_pheno, mouse_prefix)
+    var = wemai_reml(dm, build(ag, dg), precision="mixed")
+    np.testing.assert_allclose(var, gold, rtol=1e-6, atol=1e-10)
+
+
+def test_reml_mixed_repeated_measures(mouse_prefix, grms):
+    """Mixed-precision parity on the yeast-style repeated-records config
+    (the shape the TPU path exists for)."""
+    gold = np.load(GOLDEN / "reml_repeat.npz")
+    ag, _ = grms
+    pe = np.eye(ag.shape[0])
+    dm = design_matrix(str(GOLDEN.parent / "data" / "pheno_repeat"),
+                       mouse_prefix)
+    var = wemai_reml(dm, [ag, ag * ag, pe], precision="mixed")
+    np.testing.assert_allclose(var, gold["var"], rtol=1e-6, atol=1e-10)
+
+
 def test_wemai_file_wrapper(tmp_path, mouse_pheno, mouse_prefix, grms):
     ag, _ = grms
     out = str(tmp_path / "var.txt")

@@ -2,12 +2,13 @@
 """Headline benchmark: the PRODUCTION epiAA effect-screen (SNP-pairs/s).
 
 Measures `gmat_tpu.scan.screen._run_screen` — the exact code path every
-`remma_epi*_eff` / `remma_epi*_approx` call runs (round 3: ONE fused
-sweep that counts AND extracts per-visit hits via iterative argmax,
-fetching buffers[:total] = O(hits) bytes; flagged dense visits re-extract
-through the legacy two-phase engine) — at a threshold that yields real
-hits, on a mouse-sized cohort (n=1304) with a synthetic 262144-SNP panel
-(34.4G pairs).  This is the TPU-native equivalent of the reference's
+`remma_epi*_eff` / `remma_epi*_approx` call runs (round 4: ONE fused
+sweep that counts AND extracts per-visit hits via block-gather +
+count-gated argmax rounds and scatter-free searchsorted compaction,
+fetching buffers[:total] = O(hits) bytes; dense visits escalate to a
+tier-2 re-dispatch before the legacy two-phase engine) — at a threshold
+that yields real hits, on a mouse-sized cohort (n=1304) with a synthetic
+262144-SNP panel (34.4G pairs).  This is the TPU-native equivalent of the reference's
 C/OpenMP `remma_epiAA_eff_cpu` kernel (_remma_epi_eff_cpu.c:91-137);
 `vs_baseline` compares against that C kernel measured on this host
 (tools/bench_reference.py -> bench_baseline.json).
@@ -178,9 +179,112 @@ def bench_exact_scan(jax, jnp, rng):
     return pairs / dt, flops / dt / 1e12
 
 
+def bench_reml_mixed(jax, jnp, rng):
+    """Mixed-precision REML iteration at the yeast repeated-measures shape
+    (n_rec=6435, n_id=4168, gmat_lst=[ag, ag*ag, pe]; VERDICT r3 #3):
+    f32 MXU Cholesky + split-precision Newton refinement vs the host CPU
+    f64 step the reference's numpy path corresponds to.  Returns
+    (tpu_iter_s, cpu_iter_s | None)."""
+    from gmat_tpu.reml.wemai import _reml_step
+
+    n_id, n_rec, m = 4168, 6435, 2048
+    geno = rng.binomial(2, rng.uniform(0.1, 0.9, size=m)[None, :],
+                        size=(n_id, m)).astype(np.float32)
+    extra_rec = rng.integers(0, n_id, size=n_rec - n_id)
+    rec_ids = np.sort(np.concatenate([np.arange(n_id), extra_rec]))
+    rec_ids = rec_ids.astype(np.int32)
+    y = rng.standard_normal(n_rec)
+    xmat = np.column_stack([np.ones(n_rec), rng.standard_normal(n_rec)])
+    var0 = np.array([0.5, 0.3, 0.5, 1.0])
+
+    @jax.jit
+    def build_zg(g32, rec):
+        p = jnp.mean(g32, axis=0) / 2.0
+        mcen = g32 - 2.0 * p[None, :]
+        scale = jnp.sum(2.0 * p * (1.0 - p))
+        ag = ((mcen @ mcen.T) / scale).astype(jnp.float64)
+        pe = jnp.eye(n_id, dtype=jnp.float64)
+        stack = jnp.stack([ag, ag * ag, pe])
+        return stack[:, rec[:, None], rec[None, :]]
+
+    def run(device, mixed, reps):
+        with jax.default_device(device):
+            zg = build_zg(jnp.asarray(geno), jnp.asarray(rec_ids))
+            y_d, x_d = jnp.asarray(y), jnp.asarray(xmat)
+            var = jnp.asarray(var0)
+            out = _reml_step(var, y_d, x_d, zg, mixed=mixed)
+            np.asarray(out[0])  # compile + warmup fetch
+            t0 = time.perf_counter()
+            var = jnp.asarray(var0)
+            for _ in range(reps):
+                out = _reml_step(var, y_d, x_d, zg, mixed=mixed)
+                var = jnp.asarray(np.asarray(out[0]))  # host round-trip,
+                # exactly as the wemai_reml driver iterates
+            return (time.perf_counter() - t0) / reps
+
+    tpu_iter = run(jax.devices()[0], True, 3)
+    log.info("reml mixed step (TPU): %.3f s/iter at n_rec=%d", tpu_iter,
+             n_rec)
+    cpu_iter = None
+    try:
+        cpu = jax.devices("cpu")[0]
+        cpu_iter = run(cpu, False, 1)
+        log.info("reml f64 step (host CPU): %.3f s/iter", cpu_iter)
+    except Exception as exc:
+        log.warning("CPU f64 REML reference unavailable: %r", exc)
+    return tpu_iter, cpu_iter
+
+
+def bench_yeast_approx(jax, jnp, rng):
+    """The FLAGSHIP pipeline end-to-end at the yeast shape (VERDICT r3 #4):
+    remma_epiAA_approx = 100k-random-pair calibration -> fused screen of
+    398M pairs -> exact re-test of survivors -> merge, via the same
+    file-level API a user calls.  Returns (wall_s, n_result_rows)."""
+    import tempfile
+
+    from gmat_tpu.grm.grm import additive_grm
+    from gmat_tpu.io.bed import write_bed
+    from gmat_tpu.scan.screen import remma_epiAA_approx
+
+    n, m = 4168, 28220
+    geno = rng.binomial(2, rng.uniform(0.05, 0.95, size=m)[None, :],
+                        size=(n, m)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as td:
+        prefix = str(Path(td) / "plink")
+        write_bed(prefix, geno.astype(np.float64))
+        yvec = rng.standard_normal(n)
+        import pandas as pd
+
+        fam = pd.read_csv(prefix + ".fam", sep=r"\s+", header=None,
+                          dtype=str)
+        with open(Path(td) / "pheno", "w") as f:
+            for (f0, i0), yv in zip(fam[[0, 1]].to_numpy(), yvec):
+                f.write(f"{f0} {i0} 1 {yv:.8f}\n")
+        ag = np.asarray(
+            additive_grm(jnp.asarray(geno)).astype(jnp.float64))
+        out = str(Path(td) / "epiAA_approx")
+        t0 = time.perf_counter()
+        remma_epiAA_approx(str(Path(td) / "pheno"), prefix, [ag, ag * ag],
+                           [0.4, 0.1, 0.6], p_cut=1e-5,
+                           num_random_pair=100000, out_file=out)
+        dt = time.perf_counter() - t0
+        with open(out) as f:
+            rows = sum(1 for _ in f) - 1
+    log.info("yeast approx end-to-end: %.1f s, %d result rows", dt, rows)
+    return dt, rows
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    warm = "--warm" in sys.argv
+    global REPS
+    if warm:
+        # compile-only sweep: populate the persistent compilation cache so
+        # the driver's timed run never waits on the degraded remote-compile
+        # service (CLAUDE.md); timings from this mode are meaningless
+        REPS = 1
 
     # persistent compile cache: the tunnel's remote-compile service takes
     # 10-30 min per fresh program when degraded; cached executables load in
@@ -228,8 +332,22 @@ def main():
     if exact:
         extra["exact_scan_pairs_per_s"] = round(exact[0], 1)
         extra["exact_scan_tflops"] = round(exact[1], 2)
+    reml = section("reml_mixed", lambda: bench_reml_mixed(jax, jnp, rng))
+    if reml:
+        extra["reml_mixed_iter_s"] = round(reml[0], 3)
+        if reml[1]:
+            extra["reml_cpu_f64_iter_s"] = round(reml[1], 3)
+            extra["reml_mixed_speedup"] = round(reml[1] / reml[0], 1)
+    approx = section("yeast_approx",
+                     lambda: bench_yeast_approx(jax, jnp, rng))
+    if approx:
+        extra["yeast_approx_end_to_end_s"] = round(approx[0], 1)
+        extra["yeast_approx_rows"] = approx[1]
 
     headline = prod[0] if prod else (ceiling or 0.0)
+    if warm:
+        log.info("warm mode: cache populated; no result line")
+        return
     base_file = ROOT / "bench_baseline.json"
     vs = None
     if base_file.exists():

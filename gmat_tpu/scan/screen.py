@@ -20,18 +20,26 @@ computed in float32 on the MXU (the screen is a threshold test; survivors are
 re-tested exactly in float64 — mirroring the reference's own
 screen-then-exact design, which tolerates screening error by construction).
 
-Round-3 FUSED engine (default for worklists >= 128 tile pairs): one
-dispatch both counts and extracts — per (anchor-tile, partner-tile) visit,
-KROW rounds of iterative argmax emit each row's hit columns and signed
-effects, per-visit buffers compact into one global device buffer, and the
-host fetches buffers[:total] (O(hits) bytes — the tunneled device moves
-~13 MB/s, so fetch bytes, not FLOPs, bound extraction).  Rows with > KROW
-hits flag their visit for re-extraction through the legacy two-phase
-engine (kept in full below: phase-1 counts + capacity-bucketed phase-2,
-plus a dense raw-panel path for keep-everything cuts).  The anchor/visit
-tiling is also the unit of multi-chip sharding, and per-visit math is
-identical on every topology, so mesh output is byte-identical.
-Env knobs: GMAT_TPU_SCREEN=fused|fused-always|two_phase, GMAT_TPU_KROW,
+Round-4 FUSED engine (the default): one dispatch both counts and extracts
+— per (anchor-tile, partner-tile) visit, each UNROLLED extraction round
+takes the max of every (row, 128-column block) cell of the score panel
+simultaneously (up to n_blk hits per row per round, pure reduces — no
+per-row gathers, no control flow: measured on this TPU a round costs
+~0.1 ms while one lax.cond costs ~0.75 ms/visit), the candidate grid
+compacts to per-row hit lists by a prefix-sum + one-hot contraction, and
+small scatters assemble the global device buffer; big worklists split
+into equal-shape chunks whose O(hits) fetches overlap the next chunk's
+compute (the tunneled device moves ~13 MB/s, so fetch bytes would
+otherwise bound the sweep), and the host fetches buffers[:total].
+Visits denser than tier 1 (GMAT_TPU_RMAX rounds, 4x that per row)
+re-dispatch once at (8 rounds, 64/row); denser still — or overflowing
+the per-visit buffer — fall back to the legacy two-phase engine (kept in
+full below: phase-1 counts + capacity-bucketed phase-2, plus a dense
+raw-panel path for keep-everything cuts, which skip the fused engine
+entirely).  The anchor/visit tiling is also the unit of multi-chip
+sharding, and per-visit math is identical on every topology, so mesh
+output is byte-identical.
+Env knobs: GMAT_TPU_SCREEN=fused|two_phase, GMAT_TPU_RMAX,
 GMAT_TPU_EXTRACT=topk|scatter (legacy phase-2), GMAT_TPU_ENGINE=pallas.
 """
 from __future__ import annotations
@@ -57,27 +65,66 @@ logger = logging.getLogger(__name__)
 _HIT_CAP = 65536  # fixed per-anchor-tile hit capacity (static shapes for XLA)
 _EXTRACT_CHUNK = 4096  # partner columns per phase-2 scan step (HBM bound)
 
-# fused single-pass screen (round-3 engine) ---------------------------------
-# hit slots per row per visit: each costs one argmax round (~0.1 ms/visit at
-# the bench tile); rows with more hits re-extract via the legacy engine at
-# tile-pair granularity, so a small krow wins unless flags are common
-_KROW = int(os.environ.get("GMAT_TPU_KROW", "4"))
-_FUSED_CAP = 1 << 22  # global hit-buffer slots (48 MB); overflow -> legacy
+# fused single-pass screen (round-4 engine) ---------------------------------
+_FUSED_CAP = 1 << 22  # global hit-buffer slots (48 MB on-device)
+_BLK = 128  # column block width of the block-gather extraction (lane tile)
+
+
+def _fused_tiers(tile: int, blk: int, n_work: int):
+    """(rounds, krow, kcap_base) extraction tiers.
+
+    Tier 1 (GMAT_TPU_RMAX rounds, 4x that per row, 2048-slot visit
+    buffers) serves typical screen cuts; the escalation tier (8, 64, 32k)
+    serves hit-dense panels.  Beyond that the legacy two-phase engine
+    takes the visit.  Every tier is fully UNROLLED — measured on this TPU,
+    a lax.cond costs ~0.75 ms/visit and a while_loop + carried storage
+    ~3 ms/visit, while one unrolled round is ~0.1 ms; kcap sizes the
+    global-compaction scatter source (wc*kcap rows at ~90 ns/row), so
+    lean tiers keep it small (tools/bench_fused_profile.py).
+
+    SHORT worklists (<= 64 visits, no env override) start directly at a
+    dense-capable (8, 16, 8192) tier: with few visits the scatter rows
+    stay cheap anyway, and skipping a flag->escalate cascade saves a
+    whole dispatch + fetch round trip (~0.3 s on the tunneled device —
+    the round-3 yeast regression)."""
+    env = os.environ.get("GMAT_TPU_RMAX")
+    if env is None and n_work <= 64:
+        tiers = [(min(8, blk), min(16, tile), 8192)]
+    else:
+        r1 = max(1, int(env or "2"))
+        tiers = [(min(r1, blk), min(4 * r1, tile), 2048)]
+    big = (min(8, blk), min(64, tile), 32768)
+    if tiers[0][:2] != big[:2]:
+        tiers.append(big)
+    return tiers
 
 
 def _fused_visit(tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
-                 mask_mode, tile, krow, flat_cut, m):
+                 mask_mode, tile, rounds, krow, flat_cut, m):
     """One (anchor-tile, partner-tile) visit of the fused screen.
 
     Computes the tile GEMM once and extracts its hits in the same program
-    via `krow` rounds of iterative argmax over the masked score panel,
-    yielding hit columns and SIGNED effects directly.
+    via UNROLLED PER-BLOCK ROUNDS: viewing the (tile, tile) score panel as
+    (tile, n_blk, 128) column blocks, each round takes the max of every
+    (row, block) cell simultaneously — up to n_blk hits per row per round
+    through pure reduces and elementwise masks.  `rounds` is a STATIC
+    unroll count: measured on this TPU, one round costs ~0.1 ms while a
+    lax.cond costs ~0.75 ms/visit and a while_loop with carried storage
+    ~3 ms/visit (tools/bench_fused_profile.py), so the control-flow-free
+    unroll wins as long as `rounds` is small; the driver escalates denser
+    visits through `_fused_tiers` instead of looping.  The candidate grid
+    (tile, n_blk, rounds) then compacts to per-row (tile, krow) hit lists
+    by a prefix-sum + one-hot contraction — again no gathers (per-row
+    take_along_axis gathers measured ~2 ms/visit).
 
-    Exactness: a row is fully extracted iff it has <= krow hits in this
-    visit; `flag` reports violations and the driver re-extracts those
-    VISITS (tile-pair granularity) with the legacy engine, keeping every
-    unflagged visit's fused hits.  Returns (count, flag, a_idx (TA,),
-    rc_cap (TA,), cols (TA, krow), vals (TA, krow))."""
+    Exactness: a visit is fully served iff max(bc) <= rounds (every hit
+    reached by some round) AND max(rc) <= krow (per-row lists hold them);
+    `flag` reports violations for the driver's escalation.  Matches the
+    reference C kernel's extraction-at-scan-speed contract
+    (_remma_epi_eff_cpu.c:69-77) and its unbounded hits-per-anchor
+    (:125-137).  Returns (count, flag, a_idx (TA,), rc_cap (TA,),
+    cols (TA, krow), vals (TA, krow)) — per-row hits ordered block-major,
+    round-minor."""
     dtype = a_gath.dtype
     t, pt = tp_row[0] * tile, tp_row[1] * tile
     a = jax.lax.dynamic_slice_in_dim(a_gath, t, tile, axis=1)
@@ -98,90 +145,115 @@ def _fused_visit(tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
         valid = j_ids[None, :] != a_idx[:, None]
     valid &= j_ids[None, :] < jnp.int32(m)
     hit = (jnp.abs(s) > cuts) & valid
-    rc = jnp.sum(hit, axis=1, dtype=jnp.int32)  # (TA,)
+    rc = jnp.sum(hit, axis=1, dtype=jnp.int32)  # (TA,) true per-row counts
     count = jnp.sum(rc, dtype=jnp.int32)  # pinned: x64 would promote
-    krow = min(krow, tile)
-    flag = jnp.max(rc) > krow
-    # krow rounds of iterative argmax over the full panel: ~0.1 ms/round at
-    # the (4096, 4096) bench tile vs ~1.1 ms for one lax.top_k call
-    # (tools/bench_extract2.py) — top_k is what made the old phase 2
-    # extraction-bound.  (A bf16 key measured no faster: the casts cost
-    # what the bandwidth saves.)  lax.argmax with an explicit int32 index
-    # dtype: jnp.argmax under the package-global x64 mode emits int64
-    # index math (emulated on TPU, rejected by Mosaic).
-    key = jnp.where(hit, jnp.abs(s) + jnp.ones((), dtype), 0)
-    iota = jt[None, :]
-    idxs = []
-    for _ in range(krow):
-        ki = jax.lax.argmax(key, 1, jnp.int32)
-        idxs.append(ki)
-        key = jnp.where(iota == ki[:, None], 0, key)
-    kidx = jnp.stack(idxs, axis=1)  # (TA, krow), desc-|s| rank order
-    vals = jnp.take_along_axis(s, kidx, axis=1)
-    cols = pt + kidx
+
+    blk = _BLK if tile % _BLK == 0 else tile  # lane-width blocks
+    n_blk = tile // blk
+    hit3 = hit.reshape(tile, n_blk, blk)
+    s3 = s.reshape(tile, n_blk, blk)
+    bc = jnp.sum(hit3, axis=2, dtype=jnp.int32)  # (TA, n_blk)
+    flag = (jnp.max(bc) > rounds) | (jnp.max(rc) > krow)
+    iota_b = jnp.arange(blk, dtype=jnp.int32)[None, None, :]
+    colbase = pt + (jnp.arange(n_blk, dtype=jnp.int32) * blk)[None, :]
+
+    # unrolled rounds: per (row, block), round r extracts the (r+1)-th
+    # largest |s|.  Two plain maxes instead of a variadic argmax; among
+    # exact-|s| ties the LARGEST lane wins, making `sel` unique, so exact
+    # duplicates (e.g. perfectly LD-correlated adjacent SNPs) extract one
+    # per round instead of colliding.  +1 in the key ranks every hit above
+    # every non-hit even when eff == 0 exactly.
+    key = jnp.where(hit3, jnp.abs(s3) + jnp.ones((), dtype), 0)
+    vs, cs = [], []
+    for r in range(rounds):
+        kv = jnp.max(key, axis=2)  # (TA, n_blk)
+        ki = jnp.max(jnp.where(key == kv[:, :, None], iota_b, -1), axis=2)
+        sel = iota_b == ki[:, :, None]
+        sval = jnp.sum(jnp.where(sel, s3, 0), axis=2)
+        vs.append(jnp.where(kv > 0, sval, 0))
+        cs.append(colbase + ki)
+        if r + 1 < rounds:
+            key = jnp.where(sel, 0, key)
+    # candidate grid -> per-row (krow,) hit lists, block-major round-minor:
+    # accept = (round < bc), destination = prefix rank, moved by a one-hot
+    # MXU contraction (columns < 2^24 are exact in f32; the driver guards)
+    vals_c = jnp.stack(vs, axis=2).reshape(tile, n_blk * rounds)
+    cols_c = jnp.stack(cs, axis=2).reshape(tile, n_blk * rounds)
+    acc = (bc[:, :, None] > jnp.arange(rounds, dtype=jnp.int32)
+           ).reshape(tile, n_blk * rounds)
+    pos = jnp.cumsum(acc.astype(jnp.int32), axis=1) - 1
+    oh = ((pos[:, :, None] == jnp.arange(krow, dtype=jnp.int32)[None, None])
+          & acc[:, :, None]).astype(dtype)
+    vals = jnp.einsum("rc,rck->rk", vals_c, oh)
+    cols = jnp.einsum("rc,rck->rk", cols_c.astype(dtype), oh
+                      ).astype(jnp.int32)
     rc_cap = jnp.minimum(rc, krow)
     return count, flag, a_idx, rc_cap, cols, vals
 
 
-_K_TP = 2048  # per-visit candidate slots in the fused map
-
-
 def _fused_map_and_compact(worklist, a_gath, b_mat, anchors_padded,
                            bins_anchor, t2_p, mask_mode, tile, flat_cut, m,
-                           cap):
-    """lax.map of `_fused_visit` with per-visit (_K_TP, 3) buffers, then ONE
-    global compaction scatter.  Measured: a lax.scan carrying the global
-    buffer costs ~2.4 ms/visit at the bench tile, the map form ~1.0 —
-    per-visit compaction scatters into tiny targets and the single global
-    scatter (W*_K_TP rows) costs ~20 ms once."""
-    krow = min(_KROW, tile)
+                           cap, rounds, krow, kcap):
+    """lax.map of `_fused_visit` with per-visit (kcap, 3) buffers, then ONE
+    global compaction scatter.  Both scatters have SMALL static sources —
+    (tile*krow) rows per visit and (W*kcap) rows once — because the visit
+    already compacted its candidate grid to per-row lists; XLA TPU scatter
+    costs ~8 ns/row, so source size, not destination size, is the cost
+    (a slot->source binary-search gather formulation measured ~1.2 ms/visit
+    + 0.5 s/chunk at production kcap — tools/bench_fused_profile.py)."""
+    dtype = a_gath.dtype
     rank = jnp.arange(krow, dtype=jnp.int32)[None, :]
-    slot = jnp.arange(_K_TP, dtype=jnp.int32)
+    slot = jnp.arange(kcap, dtype=jnp.int32)
 
     def one(tp_row):
         count, flag, a_idx, rc_cap, cols, vals = _fused_visit(
             tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
-            mask_mode, tile, krow, flat_cut, m)
-        offs = jnp.cumsum(rc_cap) - rc_cap
-        lv = offs[-1] + rc_cap[-1]  # valid (capped) hits this visit
-        flag |= lv > _K_TP
-        dest = jnp.where(rank < rc_cap[:, None], offs[:, None] + rank, _K_TP)
-        dest = jnp.minimum(dest, _K_TP).ravel()
+            mask_mode, tile, rounds, krow, flat_cut, m)
+        offs = jnp.cumsum(rc_cap, dtype=jnp.int32) - rc_cap
+        lv = offs[-1] + rc_cap[-1]
+        flag |= lv > kcap
+        dest = jnp.where(rank < rc_cap[:, None], offs[:, None] + rank, kcap)
+        dest = jnp.minimum(dest, kcap).ravel()
         rows = jnp.stack(
             [jnp.broadcast_to(a_idx[:, None], (tile, krow)).ravel()
-             .astype(a_gath.dtype),
-             cols.ravel().astype(a_gath.dtype), vals.ravel()], axis=1)
-        buf = jnp.zeros((_K_TP + 1, 3), a_gath.dtype).at[dest, :].set(
+             .astype(dtype),
+             cols.ravel().astype(dtype), vals.ravel()], axis=1)
+        buf = jnp.zeros((kcap + 1, 3), dtype).at[dest, :].set(
             rows, mode="drop")
-        return count, flag, jnp.minimum(lv, _K_TP), buf[:_K_TP]
+        return count, flag, jnp.minimum(lv, kcap), buf[:kcap]
 
     counts, flags, lv, bufs = jax.lax.map(one, worklist)
-    starts = jnp.cumsum(lv) - lv
+    starts = jnp.cumsum(lv, dtype=jnp.int32) - lv
     total = starts[-1] + lv[-1]
     dest = jnp.where(slot[None, :] < lv[:, None],
                      starts[:, None] + slot[None, :], cap)
     dest = jnp.minimum(dest, cap).ravel()
-    buf = jnp.zeros((cap + 1, 3), a_gath.dtype).at[dest, :].set(
+    buf = jnp.zeros((cap + 1, 3), dtype).at[dest, :].set(
         bufs.reshape(-1, 3), mode="drop")
-    return buf, total, counts, flags, lv
+    return buf[:cap], total, counts, flags, lv
 
 
 @partial(jax.jit, static_argnames=("mask_mode", "tile", "flat_cut", "m",
-                                   "cap"))
+                                   "cap", "rounds", "krow", "kcap"))
 def _fused_screen_scan(worklist, a_gath, b_mat, anchors_padded, bins_anchor,
-                       t2_p, mask_mode, tile, flat_cut, m, cap):
+                       t2_p, mask_mode, tile, flat_cut, m, cap, rounds, krow,
+                       kcap):
     """Fused single-pass screen: ONE dispatch sweeps the whole worklist and
     compacts every visit's hits into a shared global buffer on device.  The
     host then fetches buffers[:total] — O(hits) bytes instead of the
     per-tile fixed-capacity panels of the two-phase engine (the tunneled
-    device moves ~13 MB/s, so fetch bytes, not FLOPs, bound phase 2)."""
+    device moves ~13 MB/s, so fetch bytes, not FLOPs, bound phase 2).  The
+    driver splits big worklists into EQUAL-shape chunks dispatched
+    back-to-back, so each chunk's fetch overlaps the next chunk's compute
+    and this program compiles once."""
     return _fused_map_and_compact(worklist, a_gath, b_mat, anchors_padded,
                                   bins_anchor, t2_p, mask_mode, tile,
-                                  flat_cut, m, cap)
+                                  flat_cut, m, cap, rounds, krow, kcap)
 
 
 def _fused_screen_mesh(mesh, worklist, a_gath, b_mat, anchors_padded,
-                       bins_anchor, t2_p, mask_mode, tile, flat_cut, m, cap):
+                       bins_anchor, t2_p, mask_mode, tile, flat_cut, m, cap,
+                       rounds, krow, kcap):
     """Fused screen over a device mesh: worklist rows sharded, everything
     else replicated; each device runs the same per-visit math into its own
     global buffer, so the merged (visit-keyed) output is byte-identical to
@@ -201,7 +273,8 @@ def _fused_screen_mesh(mesh, worklist, a_gath, b_mat, anchors_padded,
     )
     def kernel(wl, ag, bm, ap, ba, tp):
         buf, total, counts, flags, lv = _fused_map_and_compact(
-            wl, ag, bm, ap, ba, tp, mask_mode, tile, flat_cut, m, cap)
+            wl, ag, bm, ap, ba, tp, mask_mode, tile, flat_cut, m, cap,
+            rounds, krow, kcap)
         return buf[None], total[None], counts[None], flags[None], lv[None]
 
     return kernel(worklist, a_gath, b_mat, anchors_padded, bins_anchor, t2_p)
@@ -709,78 +782,129 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
     ndev = int(mesh.devices.size) if mesh is not None else 1
     clock_t0 = time.perf_counter()
     m_true = b_mat.shape[1]
-    # the fused pass pays ~2x the count-only phase 1 to make phase 2 nearly
-    # free; for SHORT worklists the legacy phase 2 is already cheap and a
-    # dense-per-row hit profile flags most visits back to it anyway
-    # (measured at the yeast shape: 26/28 visits flagged), so small scans
-    # keep the two-phase engine
     screen_mode = os.environ.get("GMAT_TPU_SCREEN", "fused")
-    use_fused = (screen_mode == "fused-always"
-                 or (screen_mode == "fused" and len(work) >= 128))
-    fused_slices = None  # per-visit (start, count) into the fetched buffers
-    fused_bufs = None
-    flags = None
+    # keep-everything cuts (non-positive thresholds) hit every pair: no
+    # per-row budget can serve them and the two-phase engine's dense
+    # raw-panel path is the designed route; the fused float32 buffers also
+    # cap exactly-representable SNP indices at 2^24 (ADVICE r3), so huge
+    # panels stay on the int32 two-phase engine
+    keep_all = bool(np.all(np.asarray(table) <= 0.0))
+    use_fused = (screen_mode in ("fused", "fused-always")
+                 and not keep_all and m_true < 2 ** 24)
+    served = {}  # work index -> (bufs, start, count) from a fused tier
+    remaining = None  # work indices needing legacy re-extraction
     if use_fused:
-        # fused single pass: counts AND compacted hits in one dispatch
+        # fused single pass: counts AND compacted hits in one dispatch;
+        # visits denser than a tier's (rounds, krow) budget re-run in one
+        # escalation dispatch (C-kernel parity: unbounded hits per anchor,
+        # _remma_epi_eff_cpu.c:125-137); visits denser than the last tier
+        # and kcap overflows re-extract via the legacy engine
         n_ptiles = -(-m_true // tile)
-        b_pad_d = b_mat
-        t2_p_f = jnp.asarray(
-            np.asarray(table)[np.arange(11)[:, None] * 10
-                              + np.arange(11)[None, :]]
-            [:, np.asarray(bins_b, dtype=np.int64)]
-            .astype(np.dtype(a_mat.dtype)))
-        if n_ptiles * tile != m_true:
-            b_pad_d = jnp.pad(b_mat, ((0, 0), (0, n_ptiles * tile - m_true)))
-            t2_p_f = jnp.pad(t2_p_f, ((0, 0), (0, n_ptiles * tile - m_true)),
+        # pad partners by ONE EXTRA zero tile: visits of the sentinel pair
+        # (0, n_ptiles) are provably hitless (|0| > cut >= 0 is false;
+        # pad columns carry +inf cuts for MAF tables), so worklists pad to
+        # equal chunk shapes without emitting duplicate hits
+        width = (n_ptiles + 1) * tile
+        if flat_cut:
+            # the kernel reads ONE scalar of t2_p on this path: an (11, 1)
+            # panel instead of (11, width) saves an 11.7 MB host->device
+            # transfer PER CALL at the production shape (~0.9 s through
+            # the ~13 MB/s tunnel — measured as the round-4 sweep gap)
+            t2_p_f = jnp.full((11, 1), float(np.asarray(table).ravel()[0]),
+                              dtype=a_mat.dtype)
+        else:
+            t2_p_f = jnp.asarray(
+                np.asarray(table)[np.arange(11)[:, None] * 10
+                                  + np.arange(11)[None, :]]
+                [:, np.asarray(bins_b, dtype=np.int64)]
+                .astype(np.dtype(a_mat.dtype)))
+            t2_p_f = jnp.pad(t2_p_f, ((0, 0), (0, width - m_true)),
                              constant_values=jnp.inf)
+        b_pad_d = jnp.pad(b_mat, ((0, 0), (0, width - m_true)))
+        sentinel = np.array([[0, n_ptiles]], dtype=np.int32)
         padded_d = jnp.asarray(padded_all)
         a_gath_f = _gather_scale(a_mat, padded_d, pymat)
         bins_anchor_f = bins_a_d[padded_d]
-        if mesh is not None:
-            wl = _pad_rows_to(work, ndev)
-            out = _fused_screen_mesh(
-                mesh, jnp.asarray(wl), a_gath_f, b_pad_d, padded_d,
-                bins_anchor_f, t2_p_f, mask_mode, tile, flat_cut, m_true,
-                _FUSED_CAP)
-            d_tot = np.asarray(out[1])
-            d_counts = np.asarray(out[2])
-            d_flags = np.asarray(out[3])
-            d_lv = np.asarray(out[4])
-            w_d = d_counts.shape[1]
-            pair_counts = d_counts.reshape(-1)[: len(work)]
-            flags = d_flags.reshape(-1)[: len(work)].astype(bool)
-            if int(d_tot.max()) <= _FUSED_CAP:
-                raws, starts = [], np.zeros(len(work), np.int64)
-                base = 0
-                for d in range(ndev):
-                    t_d = int(d_tot[d])
-                    raws.append(np.asarray(out[0][d, :t_d]))
-                    lo, hi = d * w_d, min((d + 1) * w_d, len(work))
-                    if lo < len(work):
-                        local = d_lv[d][: hi - lo]
-                        starts[lo:hi] = base + np.cumsum(local) - local
-                    base += t_d
-                raw = np.concatenate(raws)
-                fused_bufs = (raw[:, 0].astype(np.int64),
-                              raw[:, 1].astype(np.int64), raw[:, 2])
-                fused_slices = starts
-        else:
-            out = _fused_screen_scan(
-                jnp.asarray(work), a_gath_f, b_pad_d, padded_d,
-                bins_anchor_f, t2_p_f, mask_mode, tile, flat_cut, m_true,
-                _FUSED_CAP)
-            pair_counts = np.asarray(out[2])
-            flags = np.asarray(out[3]).astype(bool)
-            total = int(np.asarray(out[1]))
-            lv = np.asarray(out[4])
-            if total <= _FUSED_CAP:
-                raw = np.asarray(out[0][:total])
-                fused_bufs = (raw[:, 0].astype(np.int64),
-                              raw[:, 1].astype(np.int64), raw[:, 2])
-                fused_slices = np.cumsum(lv) - lv
-        if fused_bufs is None:
-            logger.info("Fused screen overflowed %d slots; falling back to "
-                        "the two-phase extraction", _FUSED_CAP)
+        blk_w = _BLK if tile % _BLK == 0 else tile
+        tiers = _fused_tiers(tile, blk_w, len(work))
+        sub_idx = np.arange(len(work))
+        pair_counts = np.zeros(len(work), np.int64)
+        for tier, (rounds_i, krow_i, kcap_base) in enumerate(tiers):
+            work_sub = work[sub_idx]
+            # equal-shape chunks dispatched back-to-back: each chunk's
+            # O(hits) fetch overlaps the next chunk's compute on the
+            # async device queue, and the program compiles ONCE; short
+            # worklists skip the extra round trips
+            n_chunks = 4 if (mesh is None and len(work_sub) >= 256) else 1
+            wc = -(-len(work_sub) // (n_chunks * ndev)) * ndev
+            # kcap sizes BOTH the per-visit buffer and the global scatter's
+            # source (wc*kcap rows at ~90 ns/row): 2048 measured as cheap
+            # as 512 while 8192 doubled the whole sweep
+            # (tools/bench_fused_profile.py).  Visits beyond kcap flag
+            # onward (escalation tiers carry bigger bases, then legacy).
+            kcap = 1 << int(np.ceil(np.log2(
+                min(max(min(_FUSED_CAP // max(wc, 1), kcap_base),
+                        64), tile * krow_i))))
+            cap = min(_FUSED_CAP, wc * kcap)
+            pad_n = n_chunks * wc - len(work_sub)
+            wl_all = np.concatenate(
+                [work_sub, np.repeat(sentinel, pad_n, axis=0)])
+            args = (a_gath_f, b_pad_d, padded_d, bins_anchor_f, t2_p_f)
+            outs = []
+            for c in range(n_chunks):
+                chunk = jnp.asarray(wl_all[c * wc:(c + 1) * wc])
+                if mesh is not None:
+                    outs.append(_fused_screen_mesh(
+                        mesh, chunk, *args, mask_mode, tile, flat_cut,
+                        m_true, cap, rounds_i, krow_i, kcap))
+                else:
+                    outs.append(_fused_screen_scan(
+                        chunk, *args, mask_mode, tile, flat_cut, m_true,
+                        cap, rounds_i, krow_i, kcap))
+            pc_parts, fl_parts, raw_parts, st_parts = [], [], [], []
+            base = 0
+            for out in outs:
+                if mesh is not None:
+                    d_tot = np.asarray(out[1])
+                    d_lv = np.asarray(out[4])
+                    pc_parts.append(np.asarray(out[2]).reshape(-1))
+                    fl_parts.append(
+                        np.asarray(out[3]).reshape(-1).astype(bool))
+                    w_d = d_lv.shape[1]
+                    starts_c = np.zeros(wc, np.int64)
+                    for d in range(ndev):
+                        t_d = int(d_tot[d])
+                        raw_parts.append(np.asarray(out[0][d, :t_d]))
+                        local = d_lv[d]
+                        starts_c[d * w_d:(d + 1) * w_d] = (
+                            base + np.cumsum(local) - local)
+                        base += t_d
+                    st_parts.append(starts_c)
+                else:
+                    total = int(np.asarray(out[1]))
+                    pc_parts.append(np.asarray(out[2]))
+                    fl_parts.append(np.asarray(out[3]).astype(bool))
+                    lv = np.asarray(out[4])
+                    raw_parts.append(np.asarray(out[0][:total]))
+                    st_parts.append(base + np.cumsum(lv) - lv)
+                    base += total
+            raw = np.concatenate(raw_parts)
+            pc_i = np.concatenate(pc_parts)[: len(work_sub)]
+            flags_i = np.concatenate(fl_parts)[: len(work_sub)]
+            starts = np.concatenate(st_parts)[: len(work_sub)]
+            bufs_i = (raw[:, 0].astype(np.int64),
+                      raw[:, 1].astype(np.int64), raw[:, 2])
+            if tier == 0:
+                pair_counts = pc_i  # tier 1 visits the full worklist
+            for k, v in enumerate(sub_idx):
+                if not flags_i[k] and pc_i[k] > 0:
+                    served[int(v)] = (bufs_i, int(starts[k]), int(pc_i[k]))
+            sub_idx = sub_idx[flags_i]
+            if not len(sub_idx):
+                break
+            logger.info("Fused tier %d flagged %d visits", tier + 1,
+                        len(sub_idx))
+        remaining = sub_idx
     elif mesh is not None:
         pair_counts = np.asarray(
             _screen_counts_mesh(mesh, jnp.asarray(padded_all), a_mat, b_mat,
@@ -816,40 +940,39 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
     count_grid[work[:, 0], work[:, 1]] = np.minimum(pair_counts, 2**31 - 1)
     tile_res = {}
     m_total = b_mat.shape[1]
-    if fused_bufs is not None and len(hot):
-        # keep every UNFLAGGED visit's fused hits; only flagged visits (a
-        # row with > KROW hits in that tile pair — incl. every
-        # keep-all/dense tile pair) re-extract below, at tile-pair
-        # granularity, via the legacy engine's count grid
-        fi, fj, fe = fused_bufs
+    if use_fused and len(hot):
+        # keep every fused-served visit's hits; only `remaining` visits (a
+        # row overflowing even the tier-2 escalation budget) re-extract
+        # below, at tile-pair granularity, via the legacy engine's count
+        # grid
         pieces = {}
         legacy_grid = np.zeros_like(count_grid)
+        rem_set = set(int(v) for v in remaining)
         for v in range(len(work)):
             t = int(work[v, 0])
             c = int(pair_counts[v])
             if c == 0:
                 continue
-            if flags[v]:
+            if v in rem_set:
                 legacy_grid[t, work[v, 1]] = c
                 continue
-            s0 = int(fused_slices[v])
-            pieces.setdefault(t, []).append((s0, c))
+            pieces.setdefault(t, []).append(served[v])
         for t, sl in pieces.items():
             tile_res[t] = (
-                np.concatenate([fi[s:s + c] for s, c in sl]),
-                np.concatenate([fj[s:s + c] for s, c in sl]),
-                np.concatenate([fe[s:s + c] for s, c in sl]),
+                np.concatenate([b[0][s:s + c] for b, s, c in sl]),
+                np.concatenate([b[1][s:s + c] for b, s, c in sl]),
+                np.concatenate([b[2][s:s + c] for b, s, c in sl]),
             )
         count_grid = legacy_grid
-        # per-tile totals over FLAGGED visits only: they size the legacy
-        # buckets and the dense-path decision below
+        # per-tile totals over the still-flagged visits only: they size the
+        # legacy buckets and the dense-path decision below
         counts = np.zeros(n_tiles, dtype=np.int64)
-        np.add.at(counts, work[:, 0],
-                  np.where(flags, pair_counts, 0))
+        if len(remaining):
+            np.add.at(counts, work[remaining, 0], pair_counts[remaining])
         hot = np.nonzero(counts)[0]
         logger.info("Fused screen served %d tiles fully; %d flagged visits "
                     "across %d tiles to legacy extraction",
-                    len(pieces), int(flags.sum()), len(hot))
+                    len(pieces), len(rem_set), len(hot))
     # dense tiles (keep-everything cuts): direct panel fetch, host threshold
     dense = hot[counts[hot] > (tile * m_total) // 8]
     if len(dense):

@@ -280,35 +280,81 @@ def test_maf_approx_bin_files_AD_DD(tmp_path, mouse_pheno, mouse_prefix,
                                rtol=1e-10)
 
 
-def test_fused_flag_salvage_merge(rng):
-    """A visit with a >KROW-hit row must flag and re-extract via the legacy
-    engine while UNFLAGGED visits' fused hits are kept — the merged output
-    must equal the brute-force hit set exactly (screen.py round-3 fused
-    engine's salvage path)."""
+def test_fused_rmax_escalation_merge(rng):
+    """Visits whose fullest (row, block) cell exceeds the tier-1 round
+    budget (GMAT_TPU_RMAX=1 here) must escalate to the rmax=128 tier and
+    the merged output — tier-1-served visits plus escalated visits — must
+    equal the brute-force hit set exactly, in canonical order."""
     import jax.numpy as jnp
 
     from gmat_tpu.scan import screen as sc
 
-    n, m = 32, 512  # tile 128 -> 4 anchor tiles, 10 triangular visits
+    n, m = 32, 1024  # tile 512 -> 2 anchor tiles, 3 triangular visits
+    geno = rng.choice([0.0, 1.0, 2.0], size=(n, m))
+    mat = np.asarray(geno - geno.mean(0, keepdims=True), dtype=np.float32)
+    py = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    # inflate one anchor moderately so row 7's |eff| distribution OVERLAPS
+    # the rest: the global-quantile cut then yields rows at every density
+    mat[:, 7] *= 8.0
+    eff = (mat * py[:, None]).T @ mat
+    iu = np.triu_indices(m, 1)
+    cut = float(np.quantile(np.abs(eff[iu]), 0.995))
+    rc = ((np.abs(eff) > cut)
+          & (np.arange(m)[None, :] > np.arange(m)[:, None])).sum(1)
+    assert rc.max() > 128, "fixture must have a row denser than one round"
+    assert np.any(rc == 1), "fixture must have tier-1 rows"
+    anchors = np.arange(m - 1, dtype=np.int32)
+    bins = np.zeros(m, dtype=np.int64)
+    table = np.full(111, cut)
+    import unittest.mock as mock
+
+    with mock.patch.dict("os.environ", {"GMAT_TPU_SCREEN": "fused",
+                                        "GMAT_TPU_RMAX": "1"}):
+        i0, i1, e = sc._run_screen(jnp.asarray(mat), jnp.asarray(mat),
+                                   jnp.asarray(py), anchors, bins, bins,
+                                   table, "tri", 512)
+    want = {(a, b) for a, b in zip(*np.where(
+        (np.abs(eff) > cut)
+        & (np.arange(m)[None, :] > np.arange(m)[:, None])))}
+    assert set(zip(i0.tolist(), i1.tolist())) == want
+    # canonical order
+    assert np.all(np.lexsort((i1, i0)) == np.arange(len(i0)))
+
+
+def test_fused_tier2_serves_dense_without_legacy(rng):
+    """A visit with rows denser than the tier-1 round budget but within
+    the rmax=128 escalation must be served ENTIRELY by the fused engine —
+    the legacy two-phase extraction must never run (VERDICT r3 #2: the
+    reference C kernel handles unbounded hits per anchor in one pass)."""
+    import unittest.mock as mock
+
+    import jax.numpy as jnp
+
+    from gmat_tpu.scan import screen as sc
+
+    n, m = 32, 512
     geno = rng.choice([0.0, 1.0, 2.0], size=(n, m))
     mat = np.asarray(geno - geno.mean(0, keepdims=True), dtype=np.float32)
     py = (rng.standard_normal(n) * 0.1).astype(np.float32)
     eff = (mat * py[:, None]).T @ mat
     iu = np.triu_indices(m, 1)
-    # cut so that anchor 7 has MANY hits (flag) but others stay sparse:
-    # scale one anchor's column to inflate a whole row of |eff|
-    mat[:, 7] *= 50.0
-    eff = (mat * py[:, None]).T @ mat
-    cut = float(np.quantile(np.abs(eff[iu]), 0.995))
-    n_row7 = int(np.sum((np.abs(eff[7, 8:]) > cut)))
-    assert n_row7 > sc._KROW, "fixture must overflow the per-row budget"
+    cut = float(np.quantile(np.abs(eff[iu]), 0.993))
+    hitm = (np.abs(eff) > cut) & (np.arange(m)[None, :]
+                                  > np.arange(m)[:, None])
+    # per-VISIT row counts at tile 128 (one block per visit): some visit
+    # must exceed the tier-1 budget (2 rounds) and all must fit tier 2
+    # (8 rounds) so the escalation — and never the legacy engine — serves
+    rc_v = np.stack([hitm[:, p * 128:(p + 1) * 128].sum(1)
+                     for p in range(m // 128)])
+    assert rc_v.max() > 2, "fixture must exceed tier 1"
+    assert rc_v.max() <= 8, "fixture must fit tier 2"
     anchors = np.arange(m - 1, dtype=np.int32)
     bins = np.zeros(m, dtype=np.int64)
     table = np.full(111, cut)
-    # force the fused path despite the short worklist
-    import unittest.mock as mock
-
-    with mock.patch.dict("os.environ", {"GMAT_TPU_SCREEN": "fused-always"}):
+    with mock.patch.dict("os.environ", {"GMAT_TPU_SCREEN": "fused",
+                                        "GMAT_TPU_RMAX": "2"}), \
+            mock.patch.object(sc, "_screen_tiles_batch",
+                              side_effect=AssertionError("legacy ran")):
         i0, i1, e = sc._run_screen(jnp.asarray(mat), jnp.asarray(mat),
                                    jnp.asarray(py), anchors, bins, bins,
                                    table, "tri", 128)
@@ -316,8 +362,46 @@ def test_fused_flag_salvage_merge(rng):
         (np.abs(eff) > cut)
         & (np.arange(m)[None, :] > np.arange(m)[:, None])))}
     assert set(zip(i0.tolist(), i1.tolist())) == want
-    # canonical order
-    assert np.all(np.lexsort((i1, i0)) == np.arange(len(i0)))
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_fused_cap_overflow_salvage(rng, use_mesh):
+    """When the global hit budget (_FUSED_CAP) is too small, per-visit
+    buffers overflow, the affected visits flag, and the legacy engine must
+    recover the EXACT hit set (VERDICT r3 #6) — on both the single-device
+    and the mesh driver."""
+    import unittest.mock as mock
+
+    import jax.numpy as jnp
+
+    from gmat_tpu.scan import screen as sc
+
+    n, m = 32, 512
+    geno = rng.choice([0.0, 1.0, 2.0], size=(n, m))
+    mat = np.asarray(geno - geno.mean(0, keepdims=True), dtype=np.float32)
+    py = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    eff = (mat * py[:, None]).T @ mat
+    iu = np.triu_indices(m, 1)
+    cut = float(np.quantile(np.abs(eff[iu]), 0.99))  # ~1300 hits total
+    anchors = np.arange(m - 1, dtype=np.int32)
+    bins = np.zeros(m, dtype=np.int64)
+    table = np.full(111, cut)
+    mesh = None
+    if use_mesh:
+        from gmat_tpu.dist.mesh import make_mesh
+
+        mesh = make_mesh()
+    # kcap collapses to 64 slots: visits with >64 hits overflow -> flag
+    with mock.patch.dict("os.environ", {"GMAT_TPU_SCREEN": "fused"}), \
+            mock.patch.object(sc, "_FUSED_CAP", 128):
+        i0, i1, e = sc._run_screen(jnp.asarray(mat), jnp.asarray(mat),
+                                   jnp.asarray(py), anchors, bins, bins,
+                                   table, "tri", 128, mesh=mesh)
+    want = {(a, b) for a, b in zip(*np.where(
+        (np.abs(eff) > cut)
+        & (np.arange(m)[None, :] > np.arange(m)[:, None])))}
+    assert len(want) > 500
+    assert set(zip(i0.tolist(), i1.tolist())) == want
 
 
 def test_fused_maf_cut_panel(rng):

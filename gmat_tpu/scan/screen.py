@@ -234,10 +234,11 @@ def _fused_map_and_compact(worklist, a_gath, b_mat, anchors_padded,
 
 
 @partial(jax.jit, static_argnames=("mask_mode", "tile", "flat_cut", "m",
-                                   "cap", "rounds", "krow", "kcap"))
+                                   "cap", "rounds", "krow", "kcap",
+                                   "fetch_cap"))
 def _fused_screen_scan(worklist, a_gath, b_mat, anchors_padded, bins_anchor,
                        t2_p, mask_mode, tile, flat_cut, m, cap, rounds, krow,
-                       kcap):
+                       kcap, fetch_cap=0):
     """Fused single-pass screen: ONE dispatch sweeps the whole worklist and
     compacts every visit's hits into a shared global buffer on device.  The
     host then fetches buffers[:total] — O(hits) bytes instead of the
@@ -245,10 +246,16 @@ def _fused_screen_scan(worklist, a_gath, b_mat, anchors_padded, bins_anchor,
     device moves ~13 MB/s, so fetch bytes, not FLOPs, bound phase 2).  The
     driver splits big worklists into EQUAL-shape chunks dispatched
     back-to-back, so each chunk's fetch overlaps the next chunk's compute
-    and this program compiles once."""
-    return _fused_map_and_compact(worklist, a_gath, b_mat, anchors_padded,
-                                  bins_anchor, t2_p, mask_mode, tile,
-                                  flat_cut, m, cap, rounds, krow, kcap)
+    and this program compiles once; with fetch_cap > 0 a STATIC head slice
+    buf[:fetch_cap] is returned IN-program, because a host-side [:total]
+    slice is a new dispatch that queues behind every already-enqueued
+    chunk (FIFO) and would serialize all fetches after all compute."""
+    out = _fused_map_and_compact(worklist, a_gath, b_mat, anchors_padded,
+                                 bins_anchor, t2_p, mask_mode, tile,
+                                 flat_cut, m, cap, rounds, krow, kcap)
+    if fetch_cap:
+        return (out[0][:fetch_cap],) + out[1:] + (out[0],)
+    return out
 
 
 def _fused_screen_mesh(mesh, worklist, a_gath, b_mat, anchors_padded,
@@ -850,6 +857,10 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
             wl_all = np.concatenate(
                 [work_sub, np.repeat(sentinel, pad_n, axis=0)])
             args = (a_gath_f, b_pad_d, padded_d, bins_anchor_f, t2_p_f)
+            # multi-chunk: return a static head slice in-program so its
+            # transfer pipelines behind the next chunk's compute; a rare
+            # head overflow falls back to the full buffer
+            fetch_cap = min(cap, 1 << 18) if n_chunks > 1 else 0
             outs = []
             for c in range(n_chunks):
                 chunk = jnp.asarray(wl_all[c * wc:(c + 1) * wc])
@@ -860,7 +871,7 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
                 else:
                     outs.append(_fused_screen_scan(
                         chunk, *args, mask_mode, tile, flat_cut, m_true,
-                        cap, rounds_i, krow_i, kcap))
+                        cap, rounds_i, krow_i, kcap, fetch_cap))
             pc_parts, fl_parts, raw_parts, st_parts = [], [], [], []
             base = 0
             for out in outs:
@@ -881,11 +892,19 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
                         base += t_d
                     st_parts.append(starts_c)
                 else:
-                    total = int(np.asarray(out[1]))
-                    pc_parts.append(np.asarray(out[2]))
-                    fl_parts.append(np.asarray(out[3]).astype(bool))
-                    lv = np.asarray(out[4])
-                    raw_parts.append(np.asarray(out[0][:total]))
+                    # ONE round trip for the scalars/vectors, then the
+                    # O(hits) buffer
+                    total, pc_c, fl_c, lv = jax.device_get(
+                        (out[1], out[2], out[3], out[4]))
+                    total = int(total)
+                    pc_parts.append(pc_c)
+                    fl_parts.append(fl_c.astype(bool))
+                    if fetch_cap and total <= fetch_cap:
+                        raw_parts.append(np.asarray(out[0])[:total])
+                    elif fetch_cap:
+                        raw_parts.append(np.asarray(out[5][:total]))
+                    else:
+                        raw_parts.append(np.asarray(out[0][:total]))
                     st_parts.append(base + np.cumsum(lv) - lv)
                     base += total
             raw = np.concatenate(raw_parts)

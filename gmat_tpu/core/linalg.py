@@ -62,14 +62,16 @@ def mixed_inv_psd(a, rounds: int = 2):
     return w, logdet
 
 
-def projection_pieces(vinv, xmat):
+def projection_pieces(vinv, xmat, mixed: bool = False):
     """P = V⁻¹ − V⁻¹X (XᵀV⁻¹X)⁻¹ XᵀV⁻¹ and log|XᵀV⁻¹X|.
 
     Matches the reference's P-matrix construction (uvlmm_varcom.py:50-55).
-    """
+    `mixed` routes the tiny XᵀV⁻¹X inverse through `mixed_inv_psd` — on
+    TPU the f64 Cholesky/LU lowerings are emulated-or-absent."""
     vx = vinv @ xmat
     xvx = xmat.T @ vx
-    xvx_inv, ll_xvx = chol_inv_logdet(xvx)
+    xvx_inv, ll_xvx = (mixed_inv_psd(xvx) if mixed
+                       else chol_inv_logdet(xvx))
     pmat = vinv - vx @ xvx_inv @ vx.T
     return pmat, ll_xvx
 

@@ -60,7 +60,7 @@ def _reml_step(var_com, y, xmat, zg_stack, mixed=False):
     # refinement (core/linalg.mixed_inv_psd); every O(n²) reduction that
     # shapes the update direction stays float64 elementwise
     vinv, ll_v = mixed_inv_psd(vmat) if mixed else chol_inv_logdet(vmat)
-    pmat, ll_xvx = projection_pieces(vinv, xmat)
+    pmat, ll_xvx = projection_pieces(vinv, xmat, mixed=mixed)
     py = pmat @ y
     ll_val = -2.0 * (ll_v + ll_xvx + jnp.dot(y, py))
 
@@ -81,7 +81,20 @@ def _reml_step(var_com, y, xmat, zg_stack, mixed=False):
     weights = jnp.linspace(0.0, 1.0, 101)
 
     def delta_for(w):
-        return jnp.linalg.solve((1.0 - w) * ai + w * em, fd)
+        a = (1.0 - w) * ai + w * em
+        if not mixed:
+            return jnp.linalg.solve(a, fd)
+        # TPU rejects batched f64 LU ("Only F32 and C64 ... in
+        # LuDecomposition"); these (k+1)-sized SPD blends solve exactly in
+        # f32 + two f64-residual refinements (the residual matvec is a
+        # tiny elementwise-f64 op)
+        a32 = a.astype(jnp.float32)
+        x = jnp.linalg.solve(a32, fd.astype(jnp.float32)).astype(a.dtype)
+        for _ in range(2):
+            r = fd - a @ x
+            x = x + jnp.linalg.solve(a32, r.astype(jnp.float32)
+                                     ).astype(a.dtype)
+        return x
 
     deltas = jax.vmap(delta_for)(weights)  # (101, k+1)
     cands = var_com[None, :] + deltas

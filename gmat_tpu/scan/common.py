@@ -41,7 +41,7 @@ def _pieces_kernel(var_com, y, xmat, zg_stack, rec_ids, n_col, mixed=False):
     # the mixed path (f32 MXU Cholesky + split-precision Newton, see
     # core/linalg.mixed_inv_psd) is both faster and closer to true f64
     vinv, _ = mixed_inv_psd(vmat) if mixed else chol_inv_logdet(vmat)
-    pmat, _ = projection_pieces(vinv, xmat)
+    pmat, _ = projection_pieces(vinv, xmat, mixed=mixed)
     py = pmat @ y
     pymat = jax.ops.segment_sum(py, rec_ids, num_segments=n_col)
     zp = jax.ops.segment_sum(pmat, rec_ids, num_segments=n_col)  # Zᵀ P

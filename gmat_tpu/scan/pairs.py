@@ -565,6 +565,14 @@ def _remma_epi_pair(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     if len(pairs):
         width = min(max_test_pair,
                     max(8, 1 << int(len(pairs) - 1).bit_length()))
+    if jax.default_backend() == "tpu":
+        # the exact test runs float64, which TPU EMULATES by splitting
+        # every dot operand into bf16 triples: pvp@e at the reference's
+        # 50000-pair width materializes (8, n, width) split copies —
+        # measured 20.6 GB at yeast scale, past the 15.75 GB HBM.  8192
+        # keeps the split temps ~1 GB at n=4168; the canonical-width rule
+        # still holds per call, so mesh output stays byte-identical.
+        width = min(width, 8192)
     np.savetxt(out_file, [_HEADER_PAIR], fmt="%s")
     with open(out_file, "a") as fout:
         step = width * ndev if mesh is not None else width

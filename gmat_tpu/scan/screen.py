@@ -225,6 +225,12 @@ def _fused_map_and_compact(worklist, a_gath, b_mat, anchors_padded,
     counts, flags, lv, bufs = jax.lax.map(one, worklist)
     starts = jnp.cumsum(lv, dtype=jnp.int32) - lv
     total = starts[-1] + lv[-1]
+    # GLOBAL-cap overflow: a visit whose slice would land past `cap` is
+    # truncated by the scatter's drop mode — it must FLAG (and re-extract
+    # via escalation/legacy) even though its own kcap budget held, and the
+    # reported total clamps to the readable prefix
+    flags = flags | (starts + lv > cap)
+    total = jnp.minimum(total, cap)
     dest = jnp.where(slot[None, :] < lv[:, None],
                      starts[:, None] + slot[None, :], cap)
     dest = jnp.minimum(dest, cap).ravel()

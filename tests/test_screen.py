@@ -364,18 +364,23 @@ def test_fused_tier2_serves_dense_without_legacy(rng):
     assert set(zip(i0.tolist(), i1.tolist())) == want
 
 
-@pytest.mark.parametrize("use_mesh", [False, True])
-def test_fused_cap_overflow_salvage(rng, use_mesh):
+@pytest.mark.parametrize("use_mesh,seed", [(False, 9), (False, 2026),
+                                           (True, 9)])
+def test_fused_cap_overflow_salvage(use_mesh, seed):
     """When the global hit budget (_FUSED_CAP) is too small, per-visit
-    buffers overflow, the affected visits flag, and the legacy engine must
-    recover the EXACT hit set (VERDICT r3 #6) — on both the single-device
-    and the mesh driver."""
+    buffers AND the global buffer overflow, the affected visits flag, and
+    the escalation/legacy cascade must recover the EXACT hit set (VERDICT
+    r3 #6) — on both the single-device and the mesh driver.  Seed 9
+    reproduces the round-4 silent-truncation bug: a visit whose own kcap
+    budget held but whose global-buffer slice landed past `cap` lost its
+    hits without flagging."""
     import unittest.mock as mock
 
     import jax.numpy as jnp
 
     from gmat_tpu.scan import screen as sc
 
+    rng = np.random.default_rng(seed)
     n, m = 32, 512
     geno = rng.choice([0.0, 1.0, 2.0], size=(n, m))
     mat = np.asarray(geno - geno.mean(0, keepdims=True), dtype=np.float32)

@@ -71,3 +71,27 @@ def prepare_genotypes(bed_prefix: str, impute_seed: int = 0):
     if np.any(np.isnan(geno)):
         geno = impute_geno(geno, seed=impute_seed)
     return geno, bed.bim, bed.fam
+
+
+_DEVICE_GENO_CACHE: dict = {}
+
+
+def prepare_genotypes_device(bed_prefix: str, impute_seed: int = 0):
+    """`prepare_genotypes` with a size-1 DEVICE-resident cache of the
+    (n, m) genotype panel, keyed by (path, .bed mtime, seed).
+
+    The approx pipelines run three stages against the same panel
+    (calibrate -> screen -> exact re-test, reference
+    remma_epiAA_approx.py:10-53) and each would otherwise re-upload it —
+    ~70 s per upload at yeast scale through the ~13 MB/s tunneled device.
+    Returns (geno_device (n, m) float64, num_snp)."""
+    import os as _os
+
+    key = (str(bed_prefix),
+           _os.path.getmtime(str(bed_prefix) + ".bed"), impute_seed)
+    if _DEVICE_GENO_CACHE.get("key") != key:
+        geno, _, _ = prepare_genotypes(bed_prefix, impute_seed)
+        _DEVICE_GENO_CACHE.clear()
+        _DEVICE_GENO_CACHE.update(key=key, dev=jnp.asarray(geno))
+    dev = _DEVICE_GENO_CACHE["dev"]
+    return dev, dev.shape[1]

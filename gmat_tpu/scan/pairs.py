@@ -419,14 +419,15 @@ _CODINGS = {
 
 
 def _epi_setup(pheno_file, bed_prefix, gmat_lst, var_com, kind):
+    from gmat_tpu.scan.common import prepare_genotypes_device
+
     code0, code1, triangular = _CODINGS[kind]
     dm = design_matrix(pheno_file, bed_prefix)
     pieces = score_pieces(dm, gmat_lst, var_com)
-    geno, _, _ = prepare_genotypes(bed_prefix)
-    g = jnp.asarray(geno)
+    g, num_snp = prepare_genotypes_device(bed_prefix)
     mat0, _, _ = code0(g)
     mat1, _, _ = code1(g)
-    return mat0, mat1, pieces, geno.shape[1], triangular
+    return mat0, mat1, pieces, num_snp, triangular
 
 
 def _validate_anchors(snp_lst_0, num_snp, triangular):

@@ -1144,12 +1144,12 @@ def _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     Writes `snp_0 snp_1 eff` rows.  Returns the hit arrays.  `dm` overrides
     the phenotype-file parse for the array-level (y, xmat, zmat) API.
     """
+    from gmat_tpu.scan.common import prepare_genotypes_device
+
     if dm is None:
         dm = design_matrix(pheno_file, bed_prefix)
     pieces = score_pieces(dm, gmat_lst, var_com)
-    geno, _, _ = prepare_genotypes(bed_prefix)
-    num_snp = geno.shape[1]
-    g = jnp.asarray(geno)
+    g, num_snp = prepare_genotypes_device(bed_prefix)
     # only materialize the coding(s) this kind needs: at yeast/bench scale an
     # unused (n, m) float32 coding matrix is ~1.4 GB of dead HBM + transfer
     a_full = additive_code(g)[0].astype(screen_dtype) if kind != "DD" else None
@@ -1221,10 +1221,11 @@ def _append_approx_p(screen_file, out_file, bins_a, bins_b, freq_deno):
 def _remma_epi_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                    snp_lst_0=None, var_app=1.0, p_cut=1.0e-5,
                    out_file="epi_eff", dm=None, mesh=None):
+    from gmat_tpu.io.bed import read_bim
+
     chi_cut = chi2_isf(p_cut, 1)
     table = np.full(111, np.sqrt(chi_cut * var_app))
-    geno, _, _ = prepare_genotypes(bed_prefix)
-    bins = np.zeros(geno.shape[1], dtype=np.int64)
+    bins = np.zeros(len(read_bim(bed_prefix + ".bim")), dtype=np.int64)
     deno = np.full(111, var_app)
     tmp = out_file + ".temp"
     _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
@@ -1238,12 +1239,14 @@ def _remma_epi_maf_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                        snp_lst_0=None, bins_a=None, bins_b=None,
                        freq_deno=None, p_cut=1.0e-5, out_file="epi_maf_eff",
                        dm=None, mesh=None):
+    from gmat_tpu.io.bed import read_bim
+
     chi_cut = chi2_isf(p_cut, 1)
-    geno, _, _ = prepare_genotypes(bed_prefix)
+    num_snp = len(read_bim(bed_prefix + ".bim"))
     if bins_a is None:
-        bins_a = np.zeros(geno.shape[1], dtype=np.int64)
+        bins_a = np.zeros(num_snp, dtype=np.int64)
     if bins_b is None:
-        bins_b = np.zeros(geno.shape[1], dtype=np.int64)
+        bins_b = np.zeros(num_snp, dtype=np.int64)
     if freq_deno is None:
         freq_deno = np.ones(111)
     table = np.sqrt(chi_cut * np.asarray(freq_deno))

@@ -53,8 +53,14 @@ class DesignMatrices:
 
     def zgzt(self, gmat):
         """Z G Z^T as a dense (n_rec, n_rec) array (records small enough to
-        hold; the reference materializes the same product, uvlmm_varcom.py:34)."""
-        g = jnp.asarray(gmat)
+        hold; the reference materializes the same product, uvlmm_varcom.py:34).
+
+        GRM uploads ride the identity-keyed device cache: the approx
+        pipelines call this for the same host arrays once per stage
+        (core/devcache.py)."""
+        from gmat_tpu.core.devcache import device_put_cached
+
+        g = device_put_cached(gmat)
         return g[jnp.asarray(self.rec_ids)][:, jnp.asarray(self.rec_ids)]
 
     def z_dense(self):

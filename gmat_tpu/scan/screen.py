@@ -848,6 +848,10 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
             # O(hits) fetch overlaps the next chunk's compute on the
             # async device queue, and the program compiles ONCE; short
             # worklists skip the extra round trips
+            # 2-way chunking for mid-size (>=16 visit) sweeps measured
+            # SLOWER than one dispatch (0.25 s vs 0.19 s at the yeast
+            # shape): the extra round trips cost more than the overlap
+            # buys below ~256 visits
             n_chunks = 4 if (mesh is None and len(work_sub) >= 256) else 1
             wc = -(-len(work_sub) // (n_chunks * ndev)) * ndev
             # kcap sizes BOTH the per-visit buffer and the global scatter's

@@ -285,13 +285,18 @@ def main():
         count, flag, a_idx, rc_cap, cols, vals = out
         return count, jnp.sum(rc_cap), jnp.sum(cols), jnp.sum(vals)
 
-    def g_real(w, ag, bm, ap, ba, tp):
-        _ctx.update(a=ag, b=bm, ap=ap, ba=ba, tp=tp)
-        return jax.lax.map(real_visit, w)
+    for bs in (None, 2, 4):
+        def g_real(w, ag, bm, ap, ba, tp, bs=bs):
+            _ctx.update(a=ag, b=bm, ap=ap, ba=ba, tp=tp)
+            if bs:
+                return jax.lax.map(real_visit, w, batch_size=bs)
+            return jax.lax.map(real_visit, w)
 
-    gr = jax.jit(g_real)
-    timeit("realvisit", lambda: [np.asarray(x[:4]) for x in gr(
-        wl, a_gath_h, b_mat_h, anchors_padded_h, bins_anchor_h, t2_p_h)])
+        gr = jax.jit(g_real)
+        timeit(f"realvisit_b{bs}", lambda gr=gr: [
+            np.asarray(x[:4]) for x in gr(wl, a_gath_h, b_mat_h,
+                                          anchors_padded_h, bins_anchor_h,
+                                          t2_p_h)])
 
     for kc in (KCAP, 2048, 512):
         gf = partial(sc._fused_screen_scan, mask_mode="tri", tile=TILE,

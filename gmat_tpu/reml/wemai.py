@@ -168,13 +168,14 @@ def wemai_multi_gmat(pheno_file: str, bed_prefix: str, gmat_lst, init=None,
     return var_com
 
 
-@partial(jax.jit, static_argnums=(6,))
-def _blup_effects(var_com, y, xmat, zg_stack, gmat_stack, rec_ids, n_col):
+@partial(jax.jit, static_argnums=(6, 7))
+def _blup_effects(var_com, y, xmat, zg_stack, gmat_stack, rec_ids, n_col,
+                  mixed=False):
     n = y.shape[0]
     vmat = jnp.einsum("k,kij->ij", var_com[:-1], zg_stack)
     vmat = vmat + var_com[-1] * jnp.eye(n, dtype=vmat.dtype)
-    vinv, _ = chol_inv_logdet(vmat)
-    pmat, _ = projection_pieces(vinv, xmat)
+    vinv, _ = mixed_inv_psd(vmat) if mixed else chol_inv_logdet(vmat)
+    pmat, _ = projection_pieces(vinv, xmat, mixed=mixed)
     py = pmat @ y
     zpy = jax.ops.segment_sum(py, rec_ids, num_segments=n_col)
     # u_i = σ²_i G_i Zᵀ P y  (reference uvlmm_varcom.py:161-165)
@@ -208,6 +209,7 @@ def wemai_multi_gmat_pred(pheno_file: str, bed_prefix: str, gmat_lst,
         jnp.stack([jnp.asarray(g) for g in gmat_lst]),
         jnp.asarray(dm.rec_ids),
         dm.n_col,
+        _resolve_precision(precision),
     )
     np.savetxt(out_file + ".rand_eff", np.asarray(rand_eff))
     return var_com

@@ -409,6 +409,52 @@ def test_fused_cap_overflow_salvage(use_mesh, seed):
     assert set(zip(i0.tolist(), i1.tolist())) == want
 
 
+@pytest.mark.parametrize("seed", [11, 12, 13, 14])
+def test_fused_fuzz_oracle(seed):
+    """Seeded fuzz over engine-relevant degrees of freedom (shape, tile,
+    mask mode, cut density, RMAX) — every configuration must reproduce the
+    brute-force hit set exactly.  Guards the class of data-dependent
+    compaction bugs the round-4 overflow test caught."""
+    import unittest.mock as mock
+
+    import jax.numpy as jnp
+
+    from gmat_tpu.scan import screen as sc
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(16, 48))
+    tile = int(rng.choice([128, 256, 512]))
+    m = tile * int(rng.integers(2, 5)) - int(rng.integers(0, tile // 2))
+    mask_mode = str(rng.choice(["tri", "nodiag"]))
+    q = float(rng.uniform(0.95, 0.999))
+    rmax = str(rng.integers(1, 4))
+    geno = rng.choice([0.0, 1.0, 2.0], size=(n, m))
+    mat = np.asarray(geno - geno.mean(0, keepdims=True), dtype=np.float32)
+    py = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    eff = (mat * py[:, None]).T @ mat
+    cut = float(np.quantile(np.abs(eff), q))
+    anchors = np.arange(m - 1, dtype=np.int32)
+    bins = np.zeros(m, dtype=np.int64)
+    table = np.full(111, cut)
+    with mock.patch.dict("os.environ", {"GMAT_TPU_SCREEN": "fused",
+                                        "GMAT_TPU_RMAX": rmax}):
+        i0, i1, e = sc._run_screen(jnp.asarray(mat), jnp.asarray(mat),
+                                   jnp.asarray(py), anchors, bins, bins,
+                                   table, mask_mode, tile)
+    ii, jj = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+    valid = (jj > ii) if mask_mode == "tri" else \
+        ((jj != ii) & (ii < m - 1))
+    want = {(a, b) for a, b in zip(*np.where((np.abs(eff) > cut) & valid))}
+    got = set(zip(i0.tolist(), i1.tolist()))
+    assert got == want, (
+        f"seed={seed} n={n} m={m} tile={tile} mode={mask_mode} q={q} "
+        f"rmax={rmax}: missing={len(want - got)} extra={len(got - want)}")
+    # eff values match the oracle to f32 screen accuracy
+    emap = dict(zip(zip(i0.tolist(), i1.tolist()), e.tolist()))
+    for (a, b) in list(want)[:20]:
+        assert abs(emap[(a, b)] - eff[a, b]) < 1e-3 * max(1.0, abs(eff[a, b]))
+
+
 def test_fused_maf_cut_panel(rng):
     """The fused engine's per-pair MAF threshold branch (one-hot cut
     panels, flat_cut=False) must match a brute-force per-bin-pair

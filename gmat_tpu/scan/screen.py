@@ -62,9 +62,6 @@ from gmat_tpu.scan.pairs import balanced_anchor_split
 
 logger = logging.getLogger(__name__)
 
-_HIT_CAP = 65536  # fixed per-anchor-tile hit capacity (static shapes for XLA)
-_EXTRACT_CHUNK = 4096  # partner columns per phase-2 scan step (HBM bound)
-
 # fused single-pass screen (round-4 engine) ---------------------------------
 _FUSED_CAP = 1 << 22  # global hit-buffer slots (48 MB on-device)
 _BLK = 128  # column block width of the block-gather extraction (lane tile)

@@ -47,7 +47,9 @@ ROOT = Path(__file__).parent
 N_ID = 1304
 N_SNP = 262144
 TILE = 4096
-REPS = 3
+REPS = 5  # per-rep times are MEDIAN-combined: the tunneled device's
+# run-to-run variance is ~±30% and a single contended rep should not
+# drag the recorded rate
 
 logging.basicConfig(level=logging.INFO, stream=sys.stderr,
                     format="bench: %(message)s")
@@ -86,11 +88,13 @@ def bench_production_screen(jnp, mat, py, n_snp, tile, hit_frac=2e-7):
     i0, j0, e0 = _run_screen(mat, mat, py, anchors, bins, bins, table, **kw)
     n_hits = len(i0)
     log.info("production screen warmup: %d hits at cut %.4g", n_hits, cut)
-    t0 = time.perf_counter()
+    times = []
     for _ in range(REPS):
+        t0 = time.perf_counter()
         i0, j0, e0 = _run_screen(mat, mat, py, anchors, bins, bins, table,
                                  **kw)
-    dt = (time.perf_counter() - t0) / REPS
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     assert len(i0) == n_hits and n_hits > 0
     pairs = m * (m - 1) // 2
     return pairs / dt, n_hits
@@ -122,10 +126,12 @@ def bench_gemm_ceiling(jax, jnp, mat_d, py_d):
         return jnp.sum(jax.lax.map(pair_fn, work))
 
     total = int(screen_all(mat_d, py_d))  # compile + warmup
-    t0 = time.perf_counter()
+    times = []
     for _ in range(REPS):
+        t0 = time.perf_counter()
         total = int(screen_all(mat_d, py_d))
-    dt = (time.perf_counter() - t0) / REPS
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     assert total == 0
     return (N_SNP * (N_SNP - 1) // 2) / dt
 
@@ -168,10 +174,12 @@ def bench_exact_scan(jax, jnp, rng):
         return int(np.asarray(out[0]).sum())
 
     run()  # compile + warmup
-    t0 = time.perf_counter()
+    times = []
     for _ in range(REPS):
+        t0 = time.perf_counter()
         run()
-    dt = (time.perf_counter() - t0) / REPS
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     pairs = m * (m - 1) // 2
     # FLOPs: per padded anchor, pvp@E is 2*n^2*m; eff and the colsum add
     # 4*n*m more (negligible)

@@ -409,6 +409,25 @@ def test_fused_cap_overflow_salvage(use_mesh, seed):
     assert set(zip(i0.tolist(), i1.tolist())) == want
 
 
+def test_fused_tier_policy():
+    """The measured tier policy (BASELINE.md round 4): big worklists start
+    lean (GMAT_TPU_RMAX rounds, 4x/row, 2048-slot buffers) and escalate to
+    (8, 64, 32k); short worklists start dense-capable to skip a cascade
+    round trip; the env override always wins."""
+    import unittest.mock as mock
+
+    from gmat_tpu.scan.screen import _fused_tiers
+
+    assert _fused_tiers(4096, 128, 2080) == [(2, 8, 2048), (8, 64, 32768)]
+    assert _fused_tiers(4096, 128, 28) == [(8, 16, 8192), (8, 64, 32768)]
+    with mock.patch.dict("os.environ", {"GMAT_TPU_RMAX": "1"}):
+        assert _fused_tiers(4096, 128, 28) == [(1, 4, 2048),
+                                               (8, 64, 32768)]
+    # tiny tiles clamp rounds/krow to the block/tile geometry
+    rounds, krow, _ = _fused_tiers(64, 64, 3)[0]
+    assert rounds <= 64 and krow <= 64
+
+
 @pytest.mark.parametrize("seed", [11, 12, 13, 14])
 def test_fused_fuzz_oracle(seed):
     """Seeded fuzz over engine-relevant degrees of freedom (shape, tile,

@@ -90,7 +90,11 @@ def _fused_tiers(tile: int, blk: int, n_work: int):
     else:
         r1 = max(1, int(env or "2"))
         tiers = [(min(r1, blk), min(4 * r1, tile), 2048)]
-    big = (min(8, blk), min(64, tile), 32768)
+    # escalation budgets never below tier 1's: with GMAT_TPU_RMAX >= 9 a
+    # fixed (8, 64) tier would re-dispatch visits it provably cannot serve
+    # (max(bc) > r1 > 8) before falling to legacy (ADVICE r4 low)
+    r1_, k1_ = tiers[0][0], tiers[0][1]
+    big = (min(max(8, r1_), blk), min(max(64, k1_), tile), 32768)
     if tiers[0][:2] != big[:2]:
         tiers.append(big)
     return tiers
@@ -181,9 +185,15 @@ def _fused_visit(tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
     pos = jnp.cumsum(acc.astype(jnp.int32), axis=1) - 1
     oh = ((pos[:, :, None] == jnp.arange(krow, dtype=jnp.int32)[None, None])
           & acc[:, :, None]).astype(dtype)
-    vals = jnp.einsum("rc,rck->rk", vals_c, oh)
-    cols = jnp.einsum("rc,rck->rk", cols_c.astype(dtype), oh
-                      ).astype(jnp.int32)
+    # HIGHEST precision (bf16x3): at the TPU's DEFAULT precision these
+    # one-hot contractions compute in bf16, corrupting integer column
+    # indices above 256 (ulp 1024 at the 262144-SNP bench shape) and
+    # adding ~0.4% error to the written effects; bf16x3 is exact for
+    # integer-valued f32 operands < 2^24 (ADVICE r4 high).
+    hp = jax.lax.Precision.HIGHEST
+    vals = jnp.einsum("rc,rck->rk", vals_c, oh, precision=hp)
+    cols = jnp.einsum("rc,rck->rk", cols_c.astype(dtype), oh,
+                      precision=hp).astype(jnp.int32)
     rc_cap = jnp.minimum(rc, krow)
     return count, flag, a_idx, rc_cap, cols, vals
 

@@ -66,3 +66,25 @@ def test_zgzt_reuses_device_copy():
     np.testing.assert_array_equal(z1, z2)
     want = g[dm.rec_ids][:, dm.rec_ids]
     np.testing.assert_allclose(z1, want, rtol=1e-12)
+
+
+def test_diagonal_mutation_reuploads():
+    """In-place diagonal tweak (the classic `+ small_val` GRM edit) must
+    invalidate the cached device copy (ADVICE r4)."""
+    g = np.eye(32) * 2.0
+    d1 = devcache.device_put_cached(g)
+    np.testing.assert_array_equal(np.asarray(d1), g)
+    g[np.diag_indices(32)] += 0.001
+    d2 = devcache.device_put_cached(g)
+    assert d2 is not d1
+    np.testing.assert_array_equal(np.asarray(d2), g)
+
+
+def test_sampled_mutation_reuploads():
+    """A first-element edit is caught by the strided sample."""
+    a = np.zeros(1000)
+    e1 = devcache.device_put_cached(a)
+    a[0] = 5.0
+    e2 = devcache.device_put_cached(a)
+    assert e2 is not e1
+    np.testing.assert_array_equal(np.asarray(e2), a)

@@ -423,9 +423,37 @@ def test_fused_tier_policy():
     with mock.patch.dict("os.environ", {"GMAT_TPU_RMAX": "1"}):
         assert _fused_tiers(4096, 128, 28) == [(1, 4, 2048),
                                                (8, 64, 32768)]
+    # RMAX >= 9: the escalation tier must not shrink below tier 1 (it
+    # would re-dispatch visits it provably cannot serve; ADVICE r4)
+    with mock.patch.dict("os.environ", {"GMAT_TPU_RMAX": "9"}):
+        assert _fused_tiers(4096, 128, 2080) == [(9, 36, 2048),
+                                                 (9, 64, 32768)]
     # tiny tiles clamp rounds/krow to the block/tile geometry
     rounds, krow, _ = _fused_tiers(64, 64, 3)[0]
     assert rounds <= 64 and krow <= 64
+
+
+def test_fused_compaction_precision_highest():
+    """The one-hot cols/vals compaction contractions must carry HIGHEST
+    matmul precision: at the TPU's DEFAULT precision they compute in bf16
+    and corrupt integer column indices above 256 (ADVICE r4 high).  A CPU
+    run cannot reproduce the corruption (CPU f32 matmuls are exact), so
+    pin the lowered IR instead; tools/check_tpu_extraction.py is the
+    on-hardware oracle check."""
+    import jax
+
+    from gmat_tpu.scan.screen import _fused_visit
+
+    def f(tp, ag, bm, ap, ba, t2):
+        return _fused_visit(tp, ag, bm, ap, ba, t2, "tri", 128, 2, 8,
+                            True, 128)
+
+    text = jax.jit(f).lower(
+        np.zeros(2, np.int32), np.zeros((4, 128), np.float32),
+        np.zeros((4, 128), np.float32), np.zeros(128, np.int32),
+        np.zeros(128, np.int32), np.zeros((11, 1), np.float32),
+    ).as_text()
+    assert text.count("HIGHEST") >= 2
 
 
 @pytest.mark.parametrize("seed", [11, 12, 13, 14])

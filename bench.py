@@ -278,8 +278,13 @@ def bench_yeast_approx(jax, jnp, rng):
         dt = time.perf_counter() - t0
         with open(out) as f:
             rows = sum(1 for _ in f) - 1
-    log.info("yeast approx end-to-end: %.1f s, %d result rows", dt, rows)
-    return dt, rows
+    from gmat_tpu.scan import screen as screen_mod
+
+    stages = {k: round(v, 2) for k, v in
+              screen_mod.LAST_APPROX_STAGES.items()}
+    log.info("yeast approx end-to-end: %.1f s, %d result rows; stages %s",
+             dt, rows, stages)
+    return dt, rows, stages
 
 
 def main():
@@ -351,6 +356,7 @@ def main():
     if approx:
         extra["yeast_approx_end_to_end_s"] = round(approx[0], 1)
         extra["yeast_approx_rows"] = approx[1]
+        extra["yeast_approx_stages"] = approx[2]
 
     headline = prod[0] if prod else (ceiling or 0.0)
     if warm:

@@ -37,8 +37,6 @@ from gmat_tpu.config import ScanConfig
 from gmat_tpu.core.coding import additive_code, dominance_code
 from gmat_tpu.core.roofline import log_phase, maybe_trace
 from gmat_tpu.core.stats import chi2_sf
-from gmat_tpu.io.pheno import design_matrix
-from gmat_tpu.scan.common import prepare_genotypes, score_pieces
 
 logger = logging.getLogger(__name__)
 
@@ -418,15 +416,27 @@ _CODINGS = {
 }
 
 
-def _epi_setup(pheno_file, bed_prefix, gmat_lst, var_com, kind):
-    from gmat_tpu.scan.common import prepare_genotypes_device
+_CODING_KINDS = {"AA": ("add", "add"), "AD": ("add", "dom"),
+                 "DD": ("dom", "dom")}
 
-    code0, code1, triangular = _CODINGS[kind]
-    dm = design_matrix(pheno_file, bed_prefix)
-    pieces = score_pieces(dm, gmat_lst, var_com)
+
+def _epi_setup(pheno_file, bed_prefix, gmat_lst, var_com, kind):
+    """Pipeline-stage setup with identity caches: the approx pipelines run
+    calibrate -> screen -> exact re-test against the SAME phenotype, GRMs,
+    variance components, and panel (reference remma_epiAA_approx.py:10-53);
+    the design parse, the O(n³) score-piece inverse, and the (n, m) coded
+    panels are each computed once and reused across the stages."""
+    from gmat_tpu.scan.common import (coded_matrix, design_matrix_cached,
+                                      prepare_genotypes_device,
+                                      score_pieces_cached)
+
+    k0, k1 = _CODING_KINDS[kind]
+    triangular = _CODINGS[kind][2]
+    dm = design_matrix_cached(pheno_file, bed_prefix)
+    pieces = score_pieces_cached(dm, gmat_lst, var_com)
     g, num_snp = prepare_genotypes_device(bed_prefix)
-    mat0, _, _ = code0(g)
-    mat1, _, _ = code1(g)
+    mat0 = coded_matrix(g, k0)
+    mat1 = coded_matrix(g, k1)
     return mat0, mat1, pieces, num_snp, triangular
 
 

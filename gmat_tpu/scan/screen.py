@@ -53,11 +53,9 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from gmat_tpu.core.coding import additive_code, dominance_code
 from gmat_tpu.core.roofline import log_phase, maybe_trace
 from gmat_tpu.core.stats import chi2_isf
-from gmat_tpu.io.pheno import design_matrix
-from gmat_tpu.scan.common import prepare_genotypes, score_pieces
+from gmat_tpu.scan.common import prepare_genotypes
 from gmat_tpu.scan.pairs import balanced_anchor_split
 
 logger = logging.getLogger(__name__)
@@ -1155,16 +1153,18 @@ def _screen_engine(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     Writes `snp_0 snp_1 eff` rows.  Returns the hit arrays.  `dm` overrides
     the phenotype-file parse for the array-level (y, xmat, zmat) API.
     """
-    from gmat_tpu.scan.common import prepare_genotypes_device
+    from gmat_tpu.scan.common import (coded_matrix, design_matrix_cached,
+                                      prepare_genotypes_device,
+                                      score_pieces_cached)
 
     if dm is None:
-        dm = design_matrix(pheno_file, bed_prefix)
-    pieces = score_pieces(dm, gmat_lst, var_com)
+        dm = design_matrix_cached(pheno_file, bed_prefix)
+    pieces = score_pieces_cached(dm, gmat_lst, var_com)
     g, num_snp = prepare_genotypes_device(bed_prefix)
     # only materialize the coding(s) this kind needs: at yeast/bench scale an
     # unused (n, m) float32 coding matrix is ~1.4 GB of dead HBM + transfer
-    a_full = additive_code(g)[0].astype(screen_dtype) if kind != "DD" else None
-    d_full = dominance_code(g)[0].astype(screen_dtype) if kind != "AA" else None
+    a_full = coded_matrix(g, "add", screen_dtype) if kind != "DD" else None
+    d_full = coded_matrix(g, "dom", screen_dtype) if kind != "AA" else None
     py = pieces.pymat.astype(screen_dtype)
     bins_a = np.asarray(bins_a, dtype=np.int64)
     bins_b = np.asarray(bins_b, dtype=np.int64)
@@ -1359,12 +1359,42 @@ def _merge_approx_exact(approx_file, exact_file, out_file):
             fout.write(" ".join(arr) + "\n")
 
 
+#: per-stage wall-clock seconds of the most recent approx-pipeline run
+#: (keys: prep, calibrate, screen, retest, merge, total) — the reference
+#: pipeline has no internal timing at all (remma_epiAA_approx.py:10-53);
+#: bench.py surfaces these as `extra.yeast_approx_stages`.
+LAST_APPROX_STAGES: dict = {}
+
+
+def _approx_prep(kind, pheno_file, bed_prefix, gmat_lst, var_com):
+    """Warm every cross-stage cache (design parse, score pieces, device
+    genotype panel, codings) and DRAIN the device queue, so the per-stage
+    timers below measure each stage's own work rather than whatever prep
+    the async dispatch queue billed to the first fetch."""
+    from gmat_tpu.scan.pairs import _epi_setup
+
+    mat0, mat1, pieces, _, _ = _epi_setup(pheno_file, bed_prefix, gmat_lst,
+                                          var_com, kind)
+    # scalar fetches force the enqueued uploads/codings to completion
+    # (block_until_ready returns immediately on the tunneled backend)
+    float(pieces.pymat[0])
+    float(mat0[0, 0])
+    float(mat1[0, 0])
+
+
 def _remma_epi_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                       p_cut=1.0e-5, num_random_pair=100000,
                       out_file="epi_approx", snp_lst_0=None, seed=0,
                       mesh=None):
+    import time
+
     from gmat_tpu.io.bed import read_bim
 
+    stages = {}
+    t_all = time.perf_counter()
+    t0 = time.perf_counter()
+    _approx_prep(kind, pheno_file, bed_prefix, gmat_lst, var_com)
+    stages["prep"] = time.perf_counter() - t0
     num_snp = len(read_bim(bed_prefix + ".bim"))
     logger.info("Random calibration: %d pairs", num_random_pair)
     rp = out_file + ".random_pair"
@@ -1373,23 +1403,36 @@ def _remma_epi_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     # calibration AND exact re-test ride the mesh too: on a real pod the
     # 100k-pair calibration and the survivor re-test would otherwise
     # serialize onto one chip while only the screen stage shards
+    t0 = time.perf_counter()
     pair_fn(pheno_file, bed_prefix, gmat_lst, var_com, snp_pair_file=rp,
             p_cut=1.1, out_file=out_file + ".random", mesh=mesh)
     res_df = pd.read_csv(out_file + ".random", header=0, sep=r"\s+")
     var_median = float(np.median(res_df["var"]))
+    stages["calibrate"] = time.perf_counter() - t0
     os.remove(rp)
     os.remove(out_file + ".random")
     logger.info("Approximate effect variance (median): %g", var_median)
+    t0 = time.perf_counter()
     _remma_epi_eff(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                    snp_lst_0=snp_lst_0, var_app=var_median, p_cut=p_cut,
                    out_file=out_file + ".approx_p", mesh=mesh)
+    stages["screen"] = time.perf_counter() - t0
     logger.info("Exact re-test of survivors")
+    t0 = time.perf_counter()
     pair_fn(pheno_file, bed_prefix, gmat_lst, var_com,
             snp_pair_file=out_file + ".approx_p", p_cut=1.1,
             out_file=out_file + ".exact_p", mesh=mesh)
+    stages["retest"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     _merge_approx_exact(out_file + ".approx_p", out_file + ".exact_p", out_file)
+    stages["merge"] = time.perf_counter() - t0
     os.remove(out_file + ".approx_p")
     os.remove(out_file + ".exact_p")
+    stages["total"] = time.perf_counter() - t_all
+    LAST_APPROX_STAGES.clear()
+    LAST_APPROX_STAGES.update(stages)
+    logger.info("Approx pipeline stages (s): %s",
+                {k: round(v, 3) for k, v in stages.items()})
     return 0
 
 
@@ -1397,14 +1440,23 @@ def _remma_epi_maf_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
                           p_cut=1.0e-5, num_random_pair=100000,
                           out_file="epi_maf_approx", snp_lst_0=None, seed=0,
                           mesh=None):
+    import time
+
     from gmat_tpu.io.bed import read_bim
 
+    stages = {}
+    t_all = time.perf_counter()
+    t0 = time.perf_counter()
+    _approx_prep(kind, pheno_file, bed_prefix, gmat_lst, var_com)
+    stages["prep"] = time.perf_counter() - t0
     num_snp = len(read_bim(bed_prefix + ".bim"))
     rp = out_file + ".random_pair"
     _random_pair_fn(kind, num_snp, rp, num_random_pair, seed)
     pair_fn = _pair_fn(kind)
+    t0 = time.perf_counter()
     pair_fn(pheno_file, bed_prefix, gmat_lst, var_com, snp_pair_file=rp,
             p_cut=1.1, out_file=out_file + ".random", mesh=mesh)
+    stages["calibrate"] = time.perf_counter() - t0
     os.remove(rp)
     geno, _, _ = prepare_genotypes(bed_prefix)
     # bin variables per scan kind (reference remma_epi{AA,AD,DD}_maf_approx):
@@ -1457,15 +1509,26 @@ def _remma_epi_maf_approx(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     )
     _MAF_EFF = {"AA": remma_epiAA_maf_eff, "AD": remma_epiAD_maf_eff,
                 "DD": remma_epiDD_maf_eff}
+    t0 = time.perf_counter()
     _MAF_EFF[kind](pheno_file, bed_prefix, gmat_lst, var_com,
                    snp_lst_0=snp_lst_0, freq_deno=freq_deno, p_cut=p_cut,
                    out_file=out_file + ".approx_p", mesh=mesh, **maf_kwargs)
+    stages["screen"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     pair_fn(pheno_file, bed_prefix, gmat_lst, var_com,
             snp_pair_file=out_file + ".approx_p", p_cut=1.1,
             out_file=out_file + ".exact_p", mesh=mesh)
+    stages["retest"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
     _merge_approx_exact(out_file + ".approx_p", out_file + ".exact_p", out_file)
+    stages["merge"] = time.perf_counter() - t0
     os.remove(out_file + ".approx_p")
     os.remove(out_file + ".exact_p")
+    stages["total"] = time.perf_counter() - t_all
+    LAST_APPROX_STAGES.clear()
+    LAST_APPROX_STAGES.update(stages)
+    logger.info("Approx pipeline stages (s): %s",
+                {k: round(v, 3) for k, v in stages.items()})
     return 0
 
 

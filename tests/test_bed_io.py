@@ -115,3 +115,57 @@ def test_missing_genotype_pipeline(tmp_path, rng):
     res = remma_add(str(pheno), prefix, [kin], var,
                     out_file=str(tmp_path / "add"))
     assert np.isfinite(res["p_val"]).all()
+
+
+def test_prepare_genotypes_device_packed_path(mouse_prefix):
+    """The no-missing packed-upload fast path (raw 2-bit codes expanded
+    on-device via the (code²+code)/6 map, _read_plink_bed.c:37) must match
+    the host decode exactly; the cache must serve repeat calls."""
+    from gmat_tpu.scan.common import (_DEVICE_GENO_CACHE,
+                                      prepare_genotypes, prepare_genotypes_device)
+
+    _DEVICE_GENO_CACHE.clear()
+    dev, num_snp = prepare_genotypes_device(mouse_prefix)
+    host, _, _ = prepare_genotypes(mouse_prefix)
+    assert num_snp == host.shape[1]
+    np.testing.assert_array_equal(np.asarray(dev), host)
+    dev2, _ = prepare_genotypes_device(mouse_prefix)
+    assert dev2 is dev
+
+
+def test_prepare_genotypes_device_missing_fallback(tmp_path, rng):
+    """Panels WITH missing genotypes take the seeded host-impute path."""
+    from gmat_tpu.io.bed import write_bed
+    from gmat_tpu.scan.common import (_DEVICE_GENO_CACHE,
+                                      prepare_genotypes, prepare_genotypes_device)
+
+    geno = rng.integers(0, 3, size=(25, 40)).astype(np.float64)
+    geno[3, 7] = np.nan
+    geno[0, 0] = np.nan
+    prefix = str(tmp_path / "miss")
+    write_bed(prefix, geno)
+    _DEVICE_GENO_CACHE.clear()
+    dev, _ = prepare_genotypes_device(prefix)
+    host, _, _ = prepare_genotypes(prefix)
+    np.testing.assert_array_equal(np.asarray(dev), host)
+    assert not np.any(np.isnan(np.asarray(dev)))
+    _DEVICE_GENO_CACHE.clear()
+
+
+def test_coded_matrix_cache(mouse_prefix):
+    """coded_matrix reuses one device coding per (panel, kind, dtype) and
+    matches the direct coding."""
+    from gmat_tpu.core.coding import additive_code, dominance_code
+    from gmat_tpu.scan.common import coded_matrix, prepare_genotypes_device
+
+    g, _ = prepare_genotypes_device(mouse_prefix)
+    a1 = coded_matrix(g, "add")
+    a2 = coded_matrix(g, "add")
+    assert a1 is a2
+    np.testing.assert_array_equal(np.asarray(a1),
+                                  np.asarray(additive_code(g)[0]))
+    d32 = coded_matrix(g, "dom", np.float32)
+    assert d32.dtype == np.float32
+    np.testing.assert_array_equal(
+        np.asarray(d32), np.asarray(dominance_code(g)[0].astype(np.float32)))
+    assert coded_matrix(g, "dom", np.float32) is d32

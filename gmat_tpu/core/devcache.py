@@ -19,12 +19,48 @@ sample can still alias; docs/MIGRATING.md documents the constraint
 """
 from __future__ import annotations
 
+import os
 import weakref
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 _CACHE: dict = {}
+
+# upload symmetric matrices triangle-packed (halves the transfer) above
+# this size; GMAT_TPU_SYM_UPLOAD=0 disables
+_SYM_MIN_BYTES = 32 << 20
+_SYM_MAX_N = 46340  # n*(n+1)/2 and i*n must stay inside int32
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _unpack_sym(packed, n):
+    """Reconstruct an (n, n) symmetric matrix from its packed upper
+    triangle (row-major, j >= i) — one on-device gather, bit-exact."""
+    r = jnp.arange(n, dtype=jnp.int32)
+    i2 = jnp.minimum(r[:, None], r[None, :])
+    j2 = jnp.maximum(r[:, None], r[None, :])
+    pos = i2 * n - (i2 * (i2 - 1)) // 2 + (j2 - i2)
+    return packed[pos]
+
+
+def _upload(arr: np.ndarray):
+    """Host->device upload; big symmetric float matrices (GRMs) travel as
+    their packed upper triangle and reconstruct on-device — the tunneled
+    device moves ~25-55 MB/s, so halving a 139 MB GRM transfer saves
+    seconds per pipeline (VERDICT r4 #1 prep cost)."""
+    if (os.environ.get("GMAT_TPU_SYM_UPLOAD", "1") != "0"
+            and jax.default_backend() == "tpu"
+            and arr.ndim == 2 and arr.shape[0] == arr.shape[1]
+            and arr.shape[0] <= _SYM_MAX_N and arr.dtype.kind == "f"
+            and arr.nbytes >= _SYM_MIN_BYTES
+            and np.array_equal(arr, arr.T)):
+        n = arr.shape[0]
+        packed = arr[np.triu_indices(n)]
+        return _unpack_sym(jnp.asarray(packed), n)
+    return jnp.asarray(arr)
 
 
 def _fingerprint(arr: np.ndarray):
@@ -53,7 +89,7 @@ def device_put_cached(arr):
     ent = _CACHE.get(key)
     if ent is not None and ent[0]() is arr and ent[2] == _fingerprint(arr):
         return ent[1]
-    dev = jnp.asarray(arr)
+    dev = _upload(arr)
     try:
         ref = weakref.ref(arr, lambda _r, k=key: _CACHE.pop(k, None))
     except TypeError:  # some ndarray subclasses refuse weakrefs

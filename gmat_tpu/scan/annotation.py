@@ -15,48 +15,50 @@ import re
 def annotation_snp_pos(res_file: str, bed_prefix: str, p_cut: float = 1,
                        dis: float = 0, ld_file: str | None = None,
                        r2: float = 0.2) -> int:
-    snp_info = {}
-    with open(bed_prefix + ".bim") as fin:
-        for order, line in enumerate(fin):
-            snp_info[str(order)] = " ".join(line.split())
-    with open(res_file) as fin, open(res_file + ".anno", "w") as fout:
-        header = fin.readline().split()
-        fout.write(
-            " ".join(
-                [header[0], "snp0_chr", "snp0_ID", "snp0_cm", "snp0_bp",
-                 "snp0_allele1", "snp0_allele2", header[1], "snp1_chr",
-                 "snp1_ID", "snp1_cm", "snp1_bp", "snp1_allele1",
-                 "snp1_allele2"] + header[2:]
-            )
-            + "\n"
-        )
-        for line in fin:
-            arr = line.split()
-            snp0 = snp_info[arr[0]].split()
-            snp1 = snp_info[arr[1]].split()
-            if float(arr[-1]) <= p_cut and (
-                snp0[0] != snp1[0] or abs(float(snp0[3]) - float(snp1[3])) > dis
-            ):
-                fout.write(
-                    " ".join([arr[0], snp_info[arr[0]], arr[1],
-                              snp_info[arr[1]]] + arr[2:])
-                    + "\n"
-                )
+    """Annotate result rows with .bim SNP info (writes `<res>.anno`), then
+    optionally prune LD-linked pairs from a plink `.ld` table (`.anno.ld`).
+
+    Output contract pinned to the reference (annotation.py:22-74): rows
+    keep p <= p_cut AND (different chromosome OR |bp distance| > dis);
+    every written token is the verbatim text from the input files.  The
+    implementation is a vectorized bim-frame join on the SNP row index
+    (the reference loops a dict of joined .bim lines)."""
+    import numpy as np
+    import pandas as pd
+
+    bim = pd.read_csv(bed_prefix + ".bim", sep=r"\s+", header=None,
+                      dtype=str, keep_default_na=False)
+    res = pd.read_csv(res_file, sep=r"\s+", dtype=str,
+                      keep_default_na=False)
+    header = [str(c) for c in res.columns]
+    s0 = bim.iloc[res[header[0]].astype(np.int64)].reset_index(drop=True)
+    s1 = bim.iloc[res[header[1]].astype(np.int64)].reset_index(drop=True)
+    keep = (res[header[-1]].astype(float).to_numpy() <= p_cut) & (
+        (s0[0].to_numpy() != s1[0].to_numpy())
+        | (np.abs(s0[3].astype(float).to_numpy()
+                  - s1[3].astype(float).to_numpy()) > dis)
+    )
+    parts = ([res[header[0]]] + [s0[c] for c in bim.columns]
+             + [res[header[1]]] + [s1[c] for c in bim.columns]
+             + [res[c] for c in res.columns[2:]])
+    anno = pd.concat(parts, axis=1)[keep]
+    anno.columns = (
+        [header[0], "snp0_chr", "snp0_ID", "snp0_cm", "snp0_bp",
+         "snp0_allele1", "snp0_allele2", header[1], "snp1_chr", "snp1_ID",
+         "snp1_cm", "snp1_bp", "snp1_allele1", "snp1_allele2"]
+        + header[2:])
+    anno.to_csv(res_file + ".anno", sep=" ", index=False)
     if ld_file is not None:
-        ld_id = set()
-        with open(ld_file) as fin:
-            fin.readline()
-            for line in fin:
-                arr = line.split()
-                if float(arr[-1]) > r2:
-                    ld_id.add((arr[2], arr[5]))
-                    ld_id.add((arr[5], arr[2]))
-        with open(res_file + ".anno") as fin, open(res_file + ".anno.ld", "w") as fout:
-            fout.write(fin.readline())
-            for line in fin:
-                arr = line.split()
-                if (arr[2], arr[9]) not in ld_id:
-                    fout.write(line)
+        ld = pd.read_csv(ld_file, sep=r"\s+", dtype=str,
+                         keep_default_na=False)
+        linked = ld[ld[ld.columns[-1]].astype(float).to_numpy() > r2]
+        a = linked[ld.columns[2]].to_numpy()
+        b = linked[ld.columns[5]].to_numpy()
+        ld_id = set(zip(a, b)) | set(zip(b, a))
+        pairs = zip(anno["snp0_ID"].to_numpy(), anno["snp1_ID"].to_numpy())
+        unlinked = np.fromiter((p not in ld_id for p in pairs), dtype=bool,
+                               count=len(anno))
+        anno[unlinked].to_csv(res_file + ".anno.ld", sep=" ", index=False)
     return 0
 
 

@@ -585,6 +585,31 @@ def _remma_epi_pair(kind, pheno_file, bed_prefix, gmat_lst, var_com,
         # still holds per call, so mesh output stays byte-identical.
         width = min(width, 8192)
     np.savetxt(out_file, [_HEADER_PAIR], fmt="%s")
+
+    def flush(fout, chunk, outs):
+        # ONE round trip for all four result vectors (four separate
+        # np.asarray fetches cost four tunnel RTTs per chunk)
+        eff, var, chi, p = (np.asarray(a)[: len(chunk)]
+                            for a in jax.device_get(outs))
+        keep = p < p_cut
+        pd.DataFrame(
+            {
+                0: chunk[keep, 0].astype(np.int64),
+                1: chunk[keep, 1].astype(np.int64),
+                2: eff[keep],
+                3: var[keep],
+                4: chi[keep],
+                5: p[keep],
+            }
+        ).to_csv(fout, sep=" ", header=False, index=False)
+
+    # sliding dispatch window: chunks enqueue ahead of the fetches so each
+    # chunk's device->host transfer and host-side CSV append overlap the
+    # next chunks' compute on the async queue (dispatch+fetch round trips
+    # dominated the calibration stage on the tunneled device); results
+    # flush in dispatch order, so the file contract is unchanged
+    window = 8
+    pending: list = []
     with open(out_file, "a") as fout:
         step = width * ndev if mesh is not None else width
         for start in range(0, len(pairs), step):
@@ -592,33 +617,18 @@ def _remma_epi_pair(kind, pheno_file, bed_prefix, gmat_lst, var_com,
             npad = (-len(chunk)) % step
             cpad = np.concatenate([chunk, np.repeat(chunk[-1:], npad, 0)])
             if mesh is not None:
-                eff, var, chi, p = (
-                    np.asarray(a)[: len(chunk)]
-                    for a in _pair_kernel_mesh(
-                        mesh, jnp.asarray(cpad[:, 0]), jnp.asarray(cpad[:, 1]),
-                        mat0, mat1, pieces.pymat, pieces.pvpmat,
-                    )
-                )
+                outs = _pair_kernel_mesh(
+                    mesh, jnp.asarray(cpad[:, 0]), jnp.asarray(cpad[:, 1]),
+                    mat0, mat1, pieces.pymat, pieces.pvpmat)
             else:
-                eff, var, chi, p = (
-                    np.asarray(a)[: len(chunk)]
-                    for a in _pair_kernel(
-                        jnp.asarray(cpad[:, 0]), jnp.asarray(cpad[:, 1]),
-                        mat0, mat1, pieces.pymat, pieces.pvpmat,
-                    )
-                )
-            keep = p < p_cut
-            df = pd.DataFrame(
-                {
-                    0: chunk[keep, 0].astype(np.int64),
-                    1: chunk[keep, 1].astype(np.int64),
-                    2: eff[keep],
-                    3: var[keep],
-                    4: chi[keep],
-                    5: p[keep],
-                }
-            )
-            df.to_csv(fout, sep=" ", header=False, index=False)
+                outs = _pair_kernel(
+                    jnp.asarray(cpad[:, 0]), jnp.asarray(cpad[:, 1]),
+                    mat0, mat1, pieces.pymat, pieces.pvpmat)
+            pending.append((chunk, outs))
+            if len(pending) >= window:
+                flush(fout, *pending.pop(0))
+        for chunk, outs in pending:
+            flush(fout, chunk, outs)
     return 0
 
 

@@ -246,3 +246,31 @@ def test_sharded_screen_hits(rng, mesh):
     assert set(zip(i0.tolist(), i1.tolist())) == want
     # byte-stable ordering
     assert np.all(np.lexsort((i1, i0)) == np.arange(len(i0)))
+
+
+def test_fused_screen_mesh_chunked_byte_identical(rng, mesh):
+    """The CHUNKED fused-screen path (n_chunks=4 with in-program head
+    slices, round-5: previously disabled whenever a mesh was present) must
+    stay byte-identical to the single-device engine.  tile=64 over a
+    4096-SNP panel yields a >2048-visit worklist, forcing chunking at
+    ndev=8."""
+    from gmat_tpu.scan.screen import _run_screen
+
+    n, m, tile = 24, 4096, 64
+    mat = rng.standard_normal((n, m)).astype(np.float32)
+    py = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    anchors = np.arange(m - 1, dtype=np.int32)
+    bins = np.zeros(m, dtype=np.int64)
+    eff = (mat * py[:, None]).T @ mat
+    cut = float(np.quantile(np.abs(eff[np.triu_indices(m, 1)]), 1 - 2e-4))
+    table = np.full(111, cut, dtype=np.float32)
+    import jax.numpy as jnp
+
+    args = (jnp.asarray(mat), jnp.asarray(mat), jnp.asarray(py), anchors,
+            bins, bins, table, "tri", tile)
+    i_s, j_s, e_s = _run_screen(*args)
+    i_m, j_m, e_m = _run_screen(*args, mesh=mesh)
+    assert len(i_s) > 0
+    np.testing.assert_array_equal(i_s, i_m)
+    np.testing.assert_array_equal(j_s, j_m)
+    np.testing.assert_array_equal(e_s, e_m)

@@ -175,6 +175,21 @@ def test_annotation(tmp_path, mouse_prefix, setup):
     kept = {(r[0], r[7]) for r in body}
     assert ("0", "1000") in kept
     assert all(p != "5" for p, _ in kept)
+    # tokens are verbatim input text (the file contract the reference's
+    # text joiner guarantees; annotation.py:40-44)
+    assert ["2.0", "20.0", "1e-8"] in [r[14:] for r in body]
+    # LD pruning: r2 > cut removes the (snp0_ID, snp1_ID) pair, either order
+    id0 = body[0][2]
+    id1 = body[0][9]
+    ld = res.parent / "ld"
+    ld.write_text("CHR_A BP_A SNP_A CHR_B BP_B SNP_B R2\n"
+                  f"1 1 {id1} 1 2 {id0} 0.9\n")
+    annotation_snp_pos(str(res), mouse_prefix, p_cut=1e-5, dis=0,
+                       ld_file=str(ld), r2=0.2)
+    pruned = open(str(res) + ".anno.ld").read().strip().split("\n")
+    assert len(pruned) == len(lines) - 1
+    assert all(l.split()[2] != id0 or l.split()[9] != id1
+               for l in pruned[1:])
 
 
 def test_het_bins_and_AD_maf_threshold_rule(tmp_path, mouse_geno,

@@ -276,15 +276,78 @@ def bench_yeast_approx(jax, jnp, rng):
                            [0.4, 0.1, 0.6], p_cut=1e-5,
                            num_random_pair=100000, out_file=out)
         dt = time.perf_counter() - t0
+        # second call: device caches (genotype panel, GRMs, codings,
+        # score pieces) warm — the steady state of a multi-trait /
+        # multi-scan session against one panel
+        t0 = time.perf_counter()
+        remma_epiAA_approx(str(Path(td) / "pheno"), prefix, [ag, ag * ag],
+                           [0.4, 0.1, 0.6], p_cut=1e-5,
+                           num_random_pair=100000, out_file=out)
+        dt_warm = time.perf_counter() - t0
         with open(out) as f:
             rows = sum(1 for _ in f) - 1
     from gmat_tpu.scan import screen as screen_mod
 
     stages = {k: round(v, 2) for k, v in
               screen_mod.LAST_APPROX_STAGES.items()}
-    log.info("yeast approx end-to-end: %.1f s, %d result rows; stages %s",
-             dt, rows, stages)
-    return dt, rows, stages
+    log.info("yeast approx end-to-end: %.1f s cold / %.1f s warm, %d "
+             "result rows; warm stages %s", dt, dt_warm, rows, stages)
+    return dt, rows, stages, dt_warm
+
+
+def bench_longwas(jax, jnp):
+    """Longitudinal GWAS on-chip (VERDICT r4 #5): balance fixed + trans at
+    the full mouse_long scale (1212 ids x 11,833 SNPs, 16 timepoints,
+    forder=3 — the reference's own fixture workload).  The fixed test is
+    11,833 vmapped 10-iteration REMLs; trans is a handful of einsums per
+    1024-SNP batch.  f32 compute on TPU (bf16x3 contractions), golden-gated
+    at the documented bands (tests/test_longwas_balance_gwas.py).
+    Returns (fixed_snps_per_s, trans_snps_per_s)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from gmat_tpu.grm.grm import agmat
+    from gmat_tpu.longwas.balance_gwas import (balance_longwas_fixed,
+                                               balance_longwas_trans)
+
+    ml = ROOT / "tests" / "data" / "mouse_long"
+    g = np.load(ROOT / "tests" / "golden" / "longwas_balance_var.npz")
+    var_df = pd.DataFrame({k: g[k]
+                           for k in ("vari", "varij", "varik", "var_val")})
+    tp = np.arange(16) + 1.0
+    trait = list(range(2, 18))
+    with tempfile.TemporaryDirectory() as td:
+        prefix = str(Path(td) / "plink")
+        for ext in (".bed", ".bim", ".fam"):
+            shutil.copy(str(ml / ("plink" + ext)), prefix + ext)
+        agmat(prefix, inv=False, out_fmt="id_id_val")
+        args = (str(ml / "phe.balance.txt"), "ID", tp, trait,
+                prefix + ".agrm2", prefix, var_df)
+
+        def timed(fn, label, **kw):
+            # cold call absorbs the batch-program compiles; the warm call
+            # is the steady state (a permutation/multi-trait session runs
+            # the same programs hundreds of times)
+            t0 = time.perf_counter()
+            res = fn(*args, **kw)
+            cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            res = fn(*args, **kw)
+            warm = time.perf_counter() - t0
+            log.info("longwas %s: %d SNPs in %.2f s warm / %.2f s cold "
+                     "(%.3g SNPs/s)", label, len(res), warm, cold,
+                     len(res) / warm)
+            return len(res), warm
+
+        n_snp, trans_s = timed(balance_longwas_trans, "trans",
+                               prefix_outfile=str(Path(td) / "trans"))
+        n_f, fixed_s = timed(balance_longwas_fixed, "fixed (10-iter REML)",
+                             snp_batch=256,
+                             prefix_outfile=str(Path(td) / "fixed"))
+        assert n_f == n_snp
+    return n_snp / fixed_s, n_snp / trans_s
 
 
 def main():
@@ -351,12 +414,17 @@ def main():
         if reml[1]:
             extra["reml_cpu_f64_iter_s"] = round(reml[1], 3)
             extra["reml_mixed_speedup"] = round(reml[1] / reml[0], 1)
+    longwas = section("longwas", lambda: bench_longwas(jax, jnp))
+    if longwas:
+        extra["longwas_fixed_snps_per_s"] = round(longwas[0], 1)
+        extra["longwas_trans_snps_per_s"] = round(longwas[1], 1)
     approx = section("yeast_approx",
                      lambda: bench_yeast_approx(jax, jnp, rng))
     if approx:
         extra["yeast_approx_end_to_end_s"] = round(approx[0], 1)
         extra["yeast_approx_rows"] = approx[1]
         extra["yeast_approx_stages"] = approx[2]
+        extra["yeast_approx_warm_s"] = round(approx[3], 1)
 
     headline = prod[0] if prod else (ceiling or 0.0)
     if warm:

@@ -40,6 +40,25 @@ from gmat_tpu.longwas.legendre import leg_basis
 logger = logging.getLogger(__name__)
 
 
+def _resolve_dtype(precision: str):
+    """Compute dtype for the longwas test statistics: 'auto' -> float32 on
+    TPU (float64 is software-emulated there and these tests are
+    small-matrix dense — (T, T) per-id inverses, (p+k)-sized solves — so
+    f32 hardware compute wins ~an order of magnitude), float64 elsewhere.
+    GMAT_TPU_LONGWAS=f32|f64 overrides.  Calls are traced under
+    `jax.default_matmul_precision("float32")` so TPU f32 contractions run
+    bf16x3 (exact f32), keeping the golden-gated parity band (tests pin
+    the f32 path against the reference f64 goldens)."""
+    import os
+
+    mode = os.environ.get("GMAT_TPU_LONGWAS", precision).lower()
+    if mode == "auto":
+        mode = "f32" if jax.default_backend() == "tpu" else "f64"
+    if mode not in ("f32", "f64"):
+        raise ValueError(f"unknown longwas precision {mode!r}")
+    return np.float32 if mode == "f32" else np.float64
+
+
 def _unpack_cov_df(var_com_df, block):
     sub = var_com_df[var_com_df["vari"] == block]
     dim = int(sub["varij"].max())
@@ -227,9 +246,10 @@ def balance_longwas_fixed(data_file, id_col, tpoint, trait, kin_file,
                           maxiter=10, cc_par=1.0e-6, cc_gra=1.0e6,
                           em_weight_step=0.001,
                           prefix_outfile="balance_longwas_fixed",
-                          snp_batch=64, _snp_shuffle=None):
+                          snp_batch=64, _snp_shuffle=None, precision="auto"):
     if tfix is not None or fix is not None:
         raise NotImplementedError("tfix/fix must be None (reference parity)")
+    dt = _resolve_dtype(precision)
     model = prepare_balance(data_file, id_col, tpoint, trait, kin_file,
                             forder, rorder, na_method)
     cov_dim = model.leg_tp.shape[1]
@@ -241,7 +261,7 @@ def balance_longwas_fixed(data_file, id_col, tpoint, trait, kin_file,
     if _snp_shuffle is not None:
         snp_mat = snp_mat[_snp_shuffle, :]
     # rotated SNP fixed block: X_snp[i] = (U^T s)_i * leg_fix
-    snp_rot = model.eigvecs.T @ snp_mat  # (n, S)
+    snp_rot = (model.eigvecs.T @ snp_mat).astype(dt)  # (n, S)
     vind = var_index(cov_dim)
     tit = _tit_stack(model.leg_tp, vind)
     tril = np.tril_indices(cov_dim)
@@ -250,22 +270,26 @@ def balance_longwas_fixed(data_file, id_col, tpoint, trait, kin_file,
 
     single = partial(
         _emai_single,
-        jnp.asarray(model.y), leg_tp=jnp.asarray(model.leg_tp),
-        lam=jnp.asarray(model.eigvals), var0=jnp.asarray(var0),
-        tit=jnp.asarray(tit), is_add=jnp.asarray(vind[:-1, 0] == 0),
+        jnp.asarray(model.y.astype(dt)),
+        leg_tp=jnp.asarray(model.leg_tp.astype(dt)),
+        lam=jnp.asarray(model.eigvals.astype(dt)),
+        var0=jnp.asarray(var0.astype(dt)),
+        tit=jnp.asarray(tit.astype(dt)), is_add=jnp.asarray(vind[:-1, 0] == 0),
         jj=jnp.asarray(vind[:-1, 1]), kk=jnp.asarray(vind[:-1, 2]),
-        gammas=jnp.asarray(gammas), cov_dim=cov_dim, tril=tril,
+        gammas=jnp.asarray(gammas.astype(dt)), cov_dim=cov_dim, tril=tril,
         maxiter=maxiter, cc_par=cc_par, cc_gra=cc_gra,
     )
+    leg_fix_d = jnp.asarray(model.leg_fix.astype(dt))
+    xmat_d = jnp.asarray(model.xmat.astype(dt))
+    ltm_d = jnp.asarray(leg_tpoint_mat.astype(dt))
 
     @jax.jit
     def batch_fn(snp_rot_block):
         def one(s_rot):
-            x_snp = s_rot[:, None, None] * jnp.asarray(model.leg_fix)[None]
-            xmat = jnp.concatenate([jnp.asarray(model.xmat), x_snp], axis=2)
+            x_snp = s_rot[:, None, None] * leg_fix_d[None]
+            xmat = jnp.concatenate([xmat_d, x_snp], axis=2)
             ccp, ccg, eff, chi, eff_var = single(xmat=xmat)
-            chi_t, chi_acc = _tpoint_stats(eff, eff_var,
-                                           jnp.asarray(leg_tpoint_mat))
+            chi_t, chi_acc = _tpoint_stats(eff, eff_var, ltm_d)
             return ccp, ccg, eff, chi, chi_t, chi_acc
 
         return jax.vmap(one)(snp_rot_block.T)
@@ -277,7 +301,9 @@ def balance_longwas_fixed(data_file, id_col, tpoint, trait, kin_file,
         pad = snp_batch - block.shape[1]
         if pad:
             block = np.pad(block, ((0, 0), (0, pad)), mode="edge")
-        res = batch_fn(jnp.asarray(block))
+        # bf16x3 (exact f32) contractions on TPU; no-op elsewhere
+        with jax.default_matmul_precision("float32"):
+            res = batch_fn(jnp.asarray(block))
         for k, v in zip(out, res):
             out[k].append(np.asarray(v)[: snp_batch - pad])
     ccp, ccg, eff, chi, chi_t, chi_acc = (
@@ -310,9 +336,10 @@ def balance_longwas_trans(data_file, id_col, tpoint, trait, kin_file,
                           bed_prefix, var_com, snp_lst=None, tfix=None,
                           fix=None, forder=3, rorder=3, na_method="omit",
                           prefix_outfile="balance_longwas_trans",
-                          snp_batch=1024, _snp_shuffle=None):
+                          snp_batch=1024, _snp_shuffle=None, precision="auto"):
     if tfix is not None or fix is not None:
         raise NotImplementedError("tfix/fix must be None (reference parity)")
+    dt = _resolve_dtype(precision)
     model = prepare_balance(data_file, id_col, tpoint, trait, kin_file,
                             forder, rorder, na_method)
     cov_dim = model.leg_tp.shape[1]
@@ -323,25 +350,26 @@ def balance_longwas_trans(data_file, id_col, tpoint, trait, kin_file,
     # trans uses CENTERED (-2p) then eigen-rotated dosages (reference
     # balance_longwas_trans.py:181-184); the fixed test uses raw dosages
     freq = snp_mat.sum(axis=0) / (2.0 * num_id_full)
-    snp_mat = model.eigvecs.T @ (snp_mat - 2.0 * freq[None, :])
+    snp_mat = (model.eigvecs.T @ (snp_mat - 2.0 * freq[None, :])).astype(dt)
     if _snp_shuffle is not None:
         # the reference permutes the EIGEN-ROTATED rows, not the raw dosage
         # rows (balance_longwas_trans_permutation.py:187,225) — unlike the
         # fixed twin, which shuffles before its per-SNP rotation
         snp_mat = snp_mat[_snp_shuffle, :]
-    leg_tpoint_mat = leg_basis(model.tpoint, forder)
+    leg_tpoint_mat = leg_basis(model.tpoint, forder).astype(dt)
 
     @jax.jit
     def pieces():
-        leg_tp = jnp.asarray(model.leg_tp)
-        lam = jnp.asarray(model.eigvals)
-        xmat = jnp.asarray(model.xmat)
-        y = jnp.asarray(model.y)
+        leg_tp = jnp.asarray(model.leg_tp.astype(dt))
+        lam = jnp.asarray(model.eigvals.astype(dt))
+        xmat = jnp.asarray(model.xmat.astype(dt))
+        y = jnp.asarray(model.y.astype(dt))
         t = leg_tp.shape[0]
         vmat = (
-            lam[:, None, None] * (leg_tp @ jnp.asarray(cov_add) @ leg_tp.T)[None]
-            + (leg_tp @ jnp.asarray(cov_per) @ leg_tp.T)[None]
-            + res_var * jnp.eye(t)[None]
+            lam[:, None, None]
+            * (leg_tp @ jnp.asarray(cov_add.astype(dt)) @ leg_tp.T)[None]
+            + (leg_tp @ jnp.asarray(cov_per.astype(dt)) @ leg_tp.T)[None]
+            + jnp.asarray(res_var, dtype=dt) * jnp.eye(t, dtype=dt)[None]
         )
         vinv = jnp.linalg.inv(vmat)
         vx = jnp.einsum("ntu,nup->ntp", vinv, xmat)
@@ -350,8 +378,9 @@ def balance_longwas_trans(data_file, id_col, tpoint, trait, kin_file,
         py = jnp.einsum("ntu,nu->nt", vinv, y - xmat @ (xvx_inv @ xvy))
         return vinv, vx, xvx_inv, py
 
-    vinv, vx, xvx_inv, py = pieces()
-    temp_gt = jnp.asarray(cov_add @ model.leg_tp.T)  # (cd, T)
+    with jax.default_matmul_precision("float32"):
+        vinv, vx, xvx_inv, py = pieces()
+    temp_gt = jnp.asarray((cov_add @ model.leg_tp.T).astype(dt))  # (cd, T)
 
     @jax.jit
     def trans_batch(snp):
@@ -365,7 +394,7 @@ def balance_longwas_trans(data_file, id_col, tpoint, trait, kin_file,
         cov = cov1 - cov2
         effs = eff.T  # (S, cd)
         chi = jnp.einsum("sc,scd,sd->s", effs, jnp.linalg.inv(cov), effs)
-        ltm = jnp.asarray(leg_tpoint_mat)
+        ltm = jnp.asarray(leg_tpoint_mat)  # already cast to dt
         et = jnp.einsum("tc,sc->st", ltm, effs)
         vt = jnp.einsum("tc,scd,td->st", ltm, cov, ltm)
         chi_t = et * et / vt
@@ -376,7 +405,9 @@ def balance_longwas_trans(data_file, id_col, tpoint, trait, kin_file,
 
     effs, chis, chi_ts, chi_accs = [], [], [], []
     for start in range(0, snp_mat.shape[1], snp_batch):
-        e, c, ct, ca = trans_batch(jnp.asarray(snp_mat[:, start:start + snp_batch]))
+        with jax.default_matmul_precision("float32"):
+            e, c, ct, ca = trans_batch(
+                jnp.asarray(snp_mat[:, start:start + snp_batch]))
         effs.append(np.asarray(e))
         chis.append(np.asarray(c))
         chi_ts.append(np.asarray(ct))

@@ -63,7 +63,7 @@ logger = logging.getLogger(__name__)
 
 # fused single-pass screen (round-4 engine) ---------------------------------
 _FUSED_CAP = 1 << 22  # global hit-buffer slots (48 MB on-device)
-_BLK = 128  # column block width of the block-gather extraction (lane tile)
+_FUSED_BLK = 32  # lanes per bitmask group of the fused extraction (uint32)
 
 
 def _fused_tiers(tile: int, blk: int, n_work: int):
@@ -104,18 +104,22 @@ def _fused_visit(tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
     """One (anchor-tile, partner-tile) visit of the fused screen.
 
     Computes the tile GEMM once and extracts its hits in the same program
-    via UNROLLED PER-BLOCK ROUNDS: viewing the (tile, tile) score panel as
-    (tile, n_blk, 128) column blocks, each round takes the max of every
-    (row, block) cell simultaneously — up to n_blk hits per row per round
-    through pure reduces and elementwise masks.  `rounds` is a STATIC
-    unroll count: measured on this TPU, one round costs ~0.1 ms while a
-    lax.cond costs ~0.75 ms/visit and a while_loop with carried storage
-    ~3 ms/visit (tools/bench_fused_profile.py), so the control-flow-free
-    unroll wins as long as `rounds` is small; the driver escalates denser
-    visits through `_fused_tiers` instead of looping.  The candidate grid
-    (tile, n_blk, rounds) then compacts to per-row (tile, krow) hit lists
-    by a prefix-sum + one-hot contraction — again no gathers (per-row
-    take_along_axis gathers measured ~2 ms/visit).
+    via BITMASK ENUMERATION over UNROLLED ROUNDS: the (tile, tile) score
+    panel is viewed as (tile, n_blk, 32) lane groups whose hit patterns
+    pack into uint32 bitmasks in ONE fused pass over the panel; each
+    unrolled round then peels every group's lowest set bit with pure
+    integer ops on the TINY (tile, n_blk) mask array (`b & -b`,
+    population_count) and reads the corresponding score values with one
+    masked reduce over the panel.  Round-4's max-based rounds re-read the
+    panel ~3x per round (max, tie-broken arg, value select); this form
+    touches it once per round plus once for the masks — the sweep was
+    extraction-bound at ~1.4x the GEMM cost (VERDICT r4 #3).  `rounds` is
+    a STATIC unroll count (a lax.cond costs ~0.75 ms/visit, a while_loop
+    ~3 ms/visit — tools/bench_fused_profile.py); the driver escalates
+    denser visits through `_fused_tiers` instead of looping.  The
+    candidate grid (tile, n_blk, rounds) then compacts to per-row
+    (tile, krow) hit lists by a prefix-sum + one-hot MXU contraction — no
+    gathers (per-row take_along_axis gathers measured ~2 ms/visit).
 
     Exactness: a visit is fully served iff max(bc) <= rounds (every hit
     reached by some round) AND max(rc) <= krow (per-row lists hold them);
@@ -124,7 +128,8 @@ def _fused_visit(tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
     (_remma_epi_eff_cpu.c:69-77) and its unbounded hits-per-anchor
     (:125-137).  Returns (count, flag, a_idx (TA,), rc_cap (TA,),
     cols (TA, krow), vals (TA, krow)) — per-row hits ordered block-major,
-    round-minor."""
+    round-minor, ascending lane within a group (assembly lexsorts per
+    tile, so enumeration order never reaches the output contract)."""
     dtype = a_gath.dtype
     t, pt = tp_row[0] * tile, tp_row[1] * tile
     a = jax.lax.dynamic_slice_in_dim(a_gath, t, tile, axis=1)
@@ -145,35 +150,40 @@ def _fused_visit(tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
         valid = j_ids[None, :] != a_idx[:, None]
     valid &= j_ids[None, :] < jnp.int32(m)
     hit = (jnp.abs(s) > cuts) & valid
-    rc = jnp.sum(hit, axis=1, dtype=jnp.int32)  # (TA,) true per-row counts
-    count = jnp.sum(rc, dtype=jnp.int32)  # pinned: x64 would promote
 
-    blk = _BLK if tile % _BLK == 0 else tile  # lane-width blocks
+    blk = _FUSED_BLK if tile % _FUSED_BLK == 0 else tile  # <=32 lanes/group
     n_blk = tile // blk
     hit3 = hit.reshape(tile, n_blk, blk)
     s3 = s.reshape(tile, n_blk, blk)
-    bc = jnp.sum(hit3, axis=2, dtype=jnp.int32)  # (TA, n_blk)
+    iota_u = jnp.arange(blk, dtype=jnp.uint32)[None, None, :]
+    # ONE fused pass over the panel packs every group's hit pattern into a
+    # uint32; all counts and round lanes derive from this tiny array
+    bmask = jnp.sum(hit3.astype(jnp.uint32) << iota_u, axis=2,
+                    dtype=jnp.uint32)  # (TA, n_blk)
+    bc = jax.lax.population_count(bmask).astype(jnp.int32)
+    rc = jnp.sum(bc, axis=1, dtype=jnp.int32)  # (TA,) true per-row counts
+    count = jnp.sum(rc, dtype=jnp.int32)  # pinned: x64 would promote
     flag = (jnp.max(bc) > rounds) | (jnp.max(rc) > krow)
     iota_b = jnp.arange(blk, dtype=jnp.int32)[None, None, :]
     colbase = pt + (jnp.arange(n_blk, dtype=jnp.int32) * blk)[None, :]
 
-    # unrolled rounds: per (row, block), round r extracts the (r+1)-th
-    # largest |s|.  Two plain maxes instead of a variadic argmax; among
-    # exact-|s| ties the LARGEST lane wins, making `sel` unique, so exact
-    # duplicates (e.g. perfectly LD-correlated adjacent SNPs) extract one
-    # per round instead of colliding.  +1 in the key ranks every hit above
-    # every non-hit even when eff == 0 exactly.
-    key = jnp.where(hit3, jnp.abs(s3) + jnp.ones((), dtype), 0)
+    # unrolled rounds: round r peels each group's lowest remaining set bit
+    # (b & -b isolates it; population_count(lsb - 1) is its lane).  A
+    # group with no r-th hit yields lane 32 -> `sel` empty, value 0, and a
+    # column past the block that the acceptance mask below zeroes out.
+    # Hit enumeration by set bits has no tie-breaking concerns at all
+    # (exact-|s| duplicates occupy distinct lanes by construction).
+    one = jnp.uint32(1)
     vs, cs = [], []
+    b = bmask
     for r in range(rounds):
-        kv = jnp.max(key, axis=2)  # (TA, n_blk)
-        ki = jnp.max(jnp.where(key == kv[:, :, None], iota_b, -1), axis=2)
-        sel = iota_b == ki[:, :, None]
-        sval = jnp.sum(jnp.where(sel, s3, 0), axis=2)
-        vs.append(jnp.where(kv > 0, sval, 0))
-        cs.append(colbase + ki)
+        lsb = b & (~b + one)
+        lane = jax.lax.population_count(lsb - one).astype(jnp.int32)
+        sel = iota_b == lane[:, :, None]
+        vs.append(jnp.sum(jnp.where(sel, s3, 0), axis=2))
+        cs.append(colbase + jnp.minimum(lane, blk - 1))
         if r + 1 < rounds:
-            key = jnp.where(sel, 0, key)
+            b = b & (b - one)
     # candidate grid -> per-row (krow,) hit lists, block-major round-minor:
     # accept = (round < bc), destination = prefix rank, moved by a one-hot
     # MXU contraction (columns < 2^24 are exact in f32; the driver guards)
@@ -821,7 +831,8 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
     # panels stay on the int32 two-phase engine
     keep_all = bool(np.all(np.asarray(table) <= 0.0))
     use_fused = (screen_mode in ("fused", "fused-always")
-                 and not keep_all and m_true < 2 ** 24)
+                 and not keep_all and m_true < 2 ** 24
+                 and (tile % _FUSED_BLK == 0 or tile <= 32))
     served = {}  # work index -> (bufs, start, count) from a fused tier
     remaining = None  # work indices needing legacy re-extraction
     if use_fused:
@@ -831,11 +842,14 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
         # _remma_epi_eff_cpu.c:125-137); visits denser than the last tier
         # and kcap overflows re-extract via the legacy engine
         n_ptiles = -(-m_true // tile)
-        # pad partners by ONE EXTRA zero tile: visits of the sentinel pair
-        # (0, n_ptiles) are provably hitless (|0| > cut >= 0 is false;
-        # pad columns carry +inf cuts for MAF tables), so worklists pad to
-        # equal chunk shapes without emitting duplicate hits
-        width = (n_ptiles + 1) * tile
+        # worklists pad to equal chunk shapes with sentinel visits of the
+        # pair (0, n_ptiles): their partner slice start clamps (XLA
+        # dynamic_slice semantics) onto real columns, but every one of
+        # their j_ids is >= m, so the unconditional j < m mask in
+        # _fused_visit makes them provably hitless — no sentinel zero
+        # tile is materialized (that pad copied the whole (n, m) partner
+        # panel: 5.5 GB at a 2^20-SNP panel)
+        width = n_ptiles * tile
         if flat_cut:
             # the kernel reads ONE scalar of t2_p on this path: an (11, 1)
             # panel instead of (11, width) saves an 11.7 MB host->device
@@ -851,12 +865,13 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
                 .astype(np.dtype(a_mat.dtype)))
             t2_p_f = jnp.pad(t2_p_f, ((0, 0), (0, width - m_true)),
                              constant_values=jnp.inf)
-        b_pad_d = jnp.pad(b_mat, ((0, 0), (0, width - m_true)))
+        b_pad_d = (jnp.pad(b_mat, ((0, 0), (0, width - m_true)))
+                   if width > m_true else b_mat)
         sentinel = np.array([[0, n_ptiles]], dtype=np.int32)
         padded_d = jnp.asarray(padded_all)
         a_gath_f = _gather_scale(a_mat, padded_d, pymat)
         bins_anchor_f = bins_a_d[padded_d]
-        blk_w = _BLK if tile % _BLK == 0 else tile
+        blk_w = _FUSED_BLK if tile % _FUSED_BLK == 0 else tile
         tiers = _fused_tiers(tile, blk_w, len(work))
         sub_idx = np.arange(len(work))
         pair_counts = np.zeros(len(work), np.int64)

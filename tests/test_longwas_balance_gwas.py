@@ -96,3 +96,26 @@ def test_fixed_golden(setup, tmp_path):
     for col in ("eff0", "eff1", "eff2", "eff3"):
         np.testing.assert_allclose(res[col], want[col], rtol=1e-6, atol=1e-10,
                                    err_msg=col)
+
+
+@pytest.mark.parametrize("which,fn,band", [
+    ("trans", balance_longwas_trans, 5e-4),
+    ("fixed", balance_longwas_fixed, 5e-2),
+])
+def test_f32_precision_band(setup, tmp_path, which, fn, band):
+    """The TPU compute path (precision='f32', bf16x3 contractions) must
+    track the reference f64 goldens within its documented band (VERDICT
+    r4 #5).  Measured on this fixture (2026-08): trans deviates <= 7e-5
+    relative on chi/p (single linear solve), fixed <= 1.3e-2 (10 REML
+    iterations accumulate f32 drift); bands are ~5x above measurement."""
+    kin_file, var_df, _ = setup
+    gold = _gold(which)
+    res = fn(str(ML / "phe.balance.txt"), "ID", TPOINT, TRAIT, kin_file,
+             str(ML / "plink"),
+             var_df, snp_lst=SNPS, precision="f32",
+             prefix_outfile=str(tmp_path / f"{which}_f32"))
+    for col in ("chi_val", "p_val", "p_min", "p_accum"):
+        a = gold[col].to_numpy(dtype=float)
+        b = res[col].to_numpy(dtype=float)
+        rel = np.max(np.abs(a - b) / np.maximum(np.abs(a), 1e-12))
+        assert rel < band, f"{which} {col}: {rel:.3e} exceeds {band}"

@@ -89,21 +89,51 @@ def _load_snp(model: BalanceModel, bed_prefix, snp_lst):
 # fixed-regression test: vmapped per-SNP REML
 # ---------------------------------------------------------------------------
 
+def _tril_index_map(cov_dim, tril):
+    """(k, k) int map from matrix position to packed-tril slot."""
+    idx = np.zeros((cov_dim, cov_dim), dtype=np.int32)
+    idx[tril] = np.arange(len(tril[0]), dtype=np.int32)
+    return np.maximum(idx, idx.T)
+
+
 def _cov_from_vec(var, cov_dim, tril):
+    """Unpack (..., 2*ntr+1) parameter vectors into the two (k, k)
+    covariance blocks + residual — a static gather, so it batches over
+    leading axes with no per-element scatter (the round-4 .at[].set form
+    emitted one tiny scatter per weight candidate)."""
     ntr = len(tril[0])
+    idx = jnp.asarray(_tril_index_map(cov_dim, tril))
+    return (var[..., :ntr][..., idx], var[..., ntr:2 * ntr][..., idx],
+            var[..., -1])
 
-    def block(vals):
-        m = jnp.zeros((cov_dim, cov_dim), dtype=vals.dtype)
-        m = m.at[tril].set(vals)
-        return m + jnp.tril(m, -1).T
 
-    return block(var[:ntr]), block(var[ntr:2 * ntr]), var[-1]
+def _chol_pd_unrolled(cov):
+    """PD test for (..., k, k) batches via the UNROLLED Cholesky
+    recurrence (static small k): k(k+1)/2 elementwise ops instead of one
+    LAPACK Cholesky call per batch element — the weight search tests
+    ~256k 4x4 candidates per REML iteration on the TPU."""
+    k = cov.shape[-1]
+    tiny = jnp.asarray(np.finfo(np.dtype(cov.dtype)).tiny, cov.dtype)
+    l: list = [[None] * k for _ in range(k)]
+    ok = jnp.ones(cov.shape[:-2], bool)
+    for i in range(k):
+        for j in range(i + 1):
+            s = cov[..., i, j]
+            for p in range(j):
+                s = s - l[i][p] * l[j][p]
+            if i == j:
+                # isfinite: an exploded (inf) candidate must fail like the
+                # LAPACK cholesky's NaN would
+                ok = ok & (s > 0) & jnp.isfinite(s)
+                l[i][i] = jnp.sqrt(jnp.maximum(s, tiny))
+            else:
+                l[i][j] = s / l[j][j]
+    return ok
 
 
 def _pd_ok(cov_add, cov_per, res):
-    ca = jnp.linalg.cholesky(cov_add)
-    cp = jnp.linalg.cholesky(cov_per)
-    return (~jnp.any(jnp.isnan(ca))) & (~jnp.any(jnp.isnan(cp))) & (res >= 0)
+    return (_chol_pd_unrolled(cov_add) & _chol_pd_unrolled(cov_per)
+            & (res >= 0))
 
 
 def _model_pieces(xmat, leg_tp, lam, cov_add, cov_per, res_var):
@@ -191,17 +221,30 @@ def _emai_single(y, xmat, leg_tp, lam, var0, tit, is_add, jj, kk, gammas,
         em = _em_core(cov_add, cov_per, ran_df, res_var, num_record, cov_dim,
                       tril)
 
-        def cand(g):
-            return jnp.linalg.solve((1 - g) * ai + g * em, fd)
+        # delta(g) = ((1-g) ai + g em)^-1 fd for the WHOLE gamma grid via
+        # one Cholesky of em + one symmetric eigendecomposition of the
+        # whitened pencil A' = L^-1 ai L^-T (em = L L^T):
+        #   delta(g) = L^-T Q diag(1/((1-g) lam + g)) Q^T L^-1 fd
+        # O(k^2) per gamma instead of a k^3 LU each — the vmapped-solve
+        # form ran 256k batched 21x21 LUs per REML iteration on the TPU.
+        # A non-PD blend ((1-g) lam + g <= 0) yields an exploded/NaN
+        # delta, which the PD candidate gate below rejects exactly like
+        # the LU form's singular solve.
+        from jax.scipy.linalg import solve_triangular
 
-        deltas = jax.vmap(cand)(gammas)
+        lmat = jnp.linalg.cholesky(em)
+        b = solve_triangular(lmat, ai, lower=True)
+        aw = solve_triangular(lmat, b.T, lower=True)
+        aw = (aw + aw.T) / 2
+        lam_w, q = jnp.linalg.eigh(aw)
+        rhs = q.T @ solve_triangular(lmat, fd, lower=True)
+        denom = (1 - gammas)[:, None] * lam_w[None, :] + gammas[:, None]
+        coef = rhs[None, :] / denom  # (G, nv)
+        deltas = solve_triangular(lmat.T, q @ coef.T, lower=False).T
         cands = var[None, :] + deltas
 
-        def ok_fn(v):
-            ca, cp, r = _cov_from_vec(v, cov_dim, tril)
-            return _pd_ok(ca, cp, r)
-
-        ok = jax.vmap(ok_fn)(cands)
+        ca, cp, r = _cov_from_vec(cands, cov_dim, tril)
+        ok = _pd_ok(ca, cp, r)
         idx = jnp.where(jnp.any(ok), jnp.argmax(ok), len(gammas) - 1)
         delta = deltas[idx]
         var_new = var + delta

@@ -255,6 +255,9 @@ def _fused_map_and_compact(worklist, a_gath, b_mat, anchors_padded,
     return buf[:cap], total, counts, flags, lv
 
 
+_HEAD_SIZES = (1 << 13, 1 << 15, 1 << 17, 1 << 18)
+
+
 @partial(jax.jit, static_argnames=("mask_mode", "tile", "flat_cut", "m",
                                    "cap", "rounds", "krow", "kcap",
                                    "fetch_cap"))
@@ -263,20 +266,27 @@ def _fused_screen_scan(worklist, a_gath, b_mat, anchors_padded, bins_anchor,
                        kcap, fetch_cap=0):
     """Fused single-pass screen: ONE dispatch sweeps the whole worklist and
     compacts every visit's hits into a shared global buffer on device.  The
-    host then fetches buffers[:total] — O(hits) bytes instead of the
-    per-tile fixed-capacity panels of the two-phase engine (the tunneled
-    device moves ~13 MB/s, so fetch bytes, not FLOPs, bound phase 2).  The
-    driver splits big worklists into EQUAL-shape chunks dispatched
-    back-to-back, so each chunk's fetch overlaps the next chunk's compute
-    and this program compiles once; with fetch_cap > 0 a STATIC head slice
-    buf[:fetch_cap] is returned IN-program, because a host-side [:total]
-    slice is a new dispatch that queues behind every already-enqueued
-    chunk (FIFO) and would serialize all fetches after all compute."""
-    out = _fused_map_and_compact(worklist, a_gath, b_mat, anchors_padded,
-                                 bins_anchor, t2_p, mask_mode, tile,
-                                 flat_cut, m, cap, rounds, krow, kcap)
-    if fetch_cap:
-        return (out[0][:fetch_cap],) + out[1:] + (out[0],)
+    host then fetches O(hits) bytes instead of the per-tile fixed-capacity
+    panels of the two-phase engine (the tunneled device moves ~13-27 MB/s
+    device->host, so fetch bytes, not FLOPs, bound phase 2).  The driver
+    splits big worklists into EQUAL-shape chunks dispatched back-to-back,
+    so each chunk's fetch overlaps the next chunk's compute and this
+    program compiles once.
+
+    With fetch_cap == -1 STATIC head slices of the buffer at the
+    `_HEAD_SIZES` tiers are returned IN-program; the host fetches the
+    smallest head covering the actual hit count — one transfer, no extra
+    dispatch.  A host-side [:total] slice is a NEW dispatch that queues
+    behind every already-enqueued chunk (FIFO) and would serialize all
+    fetches after all compute; heads are lazy on device, so the unfetched
+    tiers cost only HBM."""
+    buf, total, counts, flags, lv = _fused_map_and_compact(
+        worklist, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
+        mask_mode, tile, flat_cut, m, cap, rounds, krow, kcap)
+    out = {"buf": buf, "total": total, "counts": counts, "flags": flags,
+           "lv": lv}
+    if fetch_cap == -1:
+        out["heads"] = tuple(buf[:s] for s in _HEAD_SIZES if s < cap)
     return out
 
 
@@ -900,9 +910,10 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
             wl_all = np.concatenate(
                 [work_sub, np.repeat(sentinel, pad_n, axis=0)])
             args = (a_gath_f, b_pad_d, padded_d, bins_anchor_f, t2_p_f)
-            # multi-chunk: return a static head slice in-program so its
-            # transfer pipelines behind the next chunk's compute; a rare
-            # head overflow falls back to the full buffer
+            # in-program head slices: each chunk's transfer pipelines
+            # behind the next chunk's compute, and single dispatches skip
+            # the [:total] slice's extra round trip; a head overflow
+            # falls back to the full buffer
             fetch_cap = min(cap, 1 << 18) if n_chunks > 1 else 0
             outs = []
             for c in range(n_chunks):
@@ -914,7 +925,7 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
                 else:
                     outs.append(_fused_screen_scan(
                         chunk, *args, mask_mode, tile, flat_cut, m_true,
-                        cap, rounds_i, krow_i, kcap, fetch_cap))
+                        cap, rounds_i, krow_i, kcap, -1))
             pc_parts, fl_parts, raw_parts, st_parts = [], [], [], []
             base = 0
             for out in outs:
@@ -950,18 +961,22 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
                     st_parts.append(starts_c)
                 else:
                     # ONE round trip for the scalars/vectors, then the
-                    # O(hits) buffer
+                    # smallest in-program head covering the hits
                     total, pc_c, fl_c, lv = jax.device_get(
-                        (out[1], out[2], out[3], out[4]))
+                        (out["total"], out["counts"], out["flags"],
+                         out["lv"]))
                     total = int(total)
                     pc_parts.append(pc_c)
                     fl_parts.append(fl_c.astype(bool))
-                    if fetch_cap and total <= fetch_cap:
-                        raw_parts.append(np.asarray(out[0])[:total])
-                    elif fetch_cap:
-                        raw_parts.append(np.asarray(out[5][:total]))
-                    else:
-                        raw_parts.append(np.asarray(out[0][:total]))
+                    raw = None
+                    sizes = [s for s in _HEAD_SIZES if s < cap]
+                    for s, h in zip(sizes, out.get("heads", ())):
+                        if total <= s:
+                            raw = np.asarray(h)[:total]
+                            break
+                    if raw is None:  # bigger than every head tier
+                        raw = np.asarray(out["buf"][:total])
+                    raw_parts.append(raw)
                     st_parts.append(base + np.cumsum(lv) - lv)
                     base += total
             raw = np.concatenate(raw_parts)

@@ -356,13 +356,16 @@ def test_fused_tier2_serves_dense_without_legacy(rng):
     cut = float(np.quantile(np.abs(eff[iu]), 0.993))
     hitm = (np.abs(eff) > cut) & (np.arange(m)[None, :]
                                   > np.arange(m)[:, None])
-    # per-VISIT row counts at tile 128 (one block per visit): some visit
-    # must exceed the tier-1 budget (2 rounds) and all must fit tier 2
-    # (8 rounds) so the escalation — and never the legacy engine — serves
+    # bitmask-enumeration budgets at tile 128: `rounds` bounds hits per
+    # (row, 32-lane group), `krow` hits per row-within-visit.  Some visit
+    # must exceed the tier-1 budget (2 rounds, krow 8) and all must fit
+    # tier 2 (8 rounds, krow 64) so the escalation — and never the legacy
+    # engine — serves
     rc_v = np.stack([hitm[:, p * 128:(p + 1) * 128].sum(1)
                      for p in range(m // 128)])
-    assert rc_v.max() > 2, "fixture must exceed tier 1"
-    assert rc_v.max() <= 8, "fixture must fit tier 2"
+    bc_v = hitm.reshape(m, m // 32, 32).sum(2)
+    assert bc_v.max() > 2 or rc_v.max() > 8, "fixture must exceed tier 1"
+    assert bc_v.max() <= 8 and rc_v.max() <= 64, "fixture must fit tier 2"
     anchors = np.arange(m - 1, dtype=np.int32)
     bins = np.zeros(m, dtype=np.int64)
     table = np.full(111, cut)

@@ -26,7 +26,7 @@ takes the max of every (row, 128-column block) cell of the score panel
 simultaneously (up to n_blk hits per row per round, pure reduces — no
 per-row gathers, no control flow: measured on this TPU a round costs
 ~0.1 ms while one lax.cond costs ~0.75 ms/visit), the candidate grid
-compacts to per-row hit lists by a prefix-sum + one-hot contraction, and
+compacts to per-row hit lists by prefix-rank masked reduces, and
 small scatters assemble the global device buffer; big worklists split
 into equal-shape chunks whose O(hits) fetches overlap the next chunk's
 compute (the tunneled device moves ~13 MB/s, so fetch bytes would
@@ -88,7 +88,12 @@ def _fused_tiers(tile: int, blk: int, n_work: int):
         tiers = [(min(8, blk), min(16, tile), 8192)]
     else:
         r1 = max(1, int(env or "2"))
-        tiers = [(min(r1, blk), min(4 * r1, tile), 2048)]
+        # kcap 512 (was 2048): the global-compaction scatter's source is
+        # wc*kcap rows and XLA TPU row-scatter degrades ~3.4 -> ~90 ns/row
+        # past ~1M rows; at the production chunk (wc=520) 2048 put the
+        # source at 1.06M rows (~40 ms/chunk measured, tools/bench_kcap.py)
+        # while 512 serves typical screen cuts (denser visits escalate)
+        tiers = [(min(r1, blk), min(4 * r1, tile), 512)]
     # escalation budgets never below tier 1's: with GMAT_TPU_RMAX >= 9 a
     # fixed (8, 64) tier would re-dispatch visits it provably cannot serve
     # (max(bc) > r1 > 8) before falling to legacy (ADVICE r4 low)
@@ -118,8 +123,8 @@ def _fused_visit(tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
     ~3 ms/visit — tools/bench_fused_profile.py); the driver escalates
     denser visits through `_fused_tiers` instead of looping.  The
     candidate grid (tile, n_blk, rounds) then compacts to per-row
-    (tile, krow) hit lists by a prefix-sum + one-hot MXU contraction — no
-    gathers (per-row take_along_axis gathers measured ~2 ms/visit).
+    (tile, krow) hit lists by prefix-rank masked reduces — no gathers
+    (per-row take_along_axis gathers measured ~2 ms/visit).
 
     Exactness: a visit is fully served iff max(bc) <= rounds (every hit
     reached by some round) AND max(rc) <= krow (per-row lists hold them);
@@ -185,24 +190,29 @@ def _fused_visit(tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
         if r + 1 < rounds:
             b = b & (b - one)
     # candidate grid -> per-row (krow,) hit lists, block-major round-minor:
-    # accept = (round < bc), destination = prefix rank, moved by a one-hot
-    # MXU contraction (columns < 2^24 are exact in f32; the driver guards)
+    # accept = (round < bc), destination = prefix rank.  Each output slot k
+    # holds AT MOST ONE candidate per row (prefix ranks are strictly
+    # increasing over accepted candidates), so slot k is one masked sum
+    # over the candidate axis — pure exact adds (f32 single value / int32
+    # columns).  The round-4 one-hot MXU contraction this replaces
+    # materialized a (tile, n_blk*rounds, krow) one-hot panel (67 MB at
+    # the bench tier) and needed HIGHEST-precision bf16x3 passes for
+    # integer-exact columns (ADVICE r4 high); XLA fuses the krow sibling
+    # reduces below into one pass over the candidate grid instead.
     vals_c = jnp.stack(vs, axis=2).reshape(tile, n_blk * rounds)
     cols_c = jnp.stack(cs, axis=2).reshape(tile, n_blk * rounds)
     acc = (bc[:, :, None] > jnp.arange(rounds, dtype=jnp.int32)
            ).reshape(tile, n_blk * rounds)
     pos = jnp.cumsum(acc.astype(jnp.int32), axis=1) - 1
-    oh = ((pos[:, :, None] == jnp.arange(krow, dtype=jnp.int32)[None, None])
-          & acc[:, :, None]).astype(dtype)
-    # HIGHEST precision (bf16x3): at the TPU's DEFAULT precision these
-    # one-hot contractions compute in bf16, corrupting integer column
-    # indices above 256 (ulp 1024 at the 262144-SNP bench shape) and
-    # adding ~0.4% error to the written effects; bf16x3 is exact for
-    # integer-valued f32 operands < 2^24 (ADVICE r4 high).
-    hp = jax.lax.Precision.HIGHEST
-    vals = jnp.einsum("rc,rck->rk", vals_c, oh, precision=hp)
-    cols = jnp.einsum("rc,rck->rk", cols_c.astype(dtype), oh,
-                      precision=hp).astype(jnp.int32)
+    pos = jnp.where(acc, pos, -1)
+    vvals, vcols = [], []
+    for k in range(krow):
+        sel = pos == k
+        vvals.append(jnp.sum(jnp.where(sel, vals_c, 0), axis=1))
+        vcols.append(jnp.sum(jnp.where(sel, cols_c, 0), axis=1,
+                             dtype=jnp.int32))
+    vals = jnp.stack(vvals, axis=1)
+    cols = jnp.stack(vcols, axis=1)
     rc_cap = jnp.minimum(rc, krow)
     return count, flag, a_idx, rc_cap, cols, vals
 

@@ -428,36 +428,40 @@ def test_fused_cap_overflow_salvage(use_mesh, seed):
 
 
 def test_fused_tier_policy():
-    """The measured tier policy (BASELINE.md round 4): big worklists start
-    lean (GMAT_TPU_RMAX rounds, 4x/row, 2048-slot buffers) and escalate to
-    (8, 64, 32k); short worklists start dense-capable to skip a cascade
-    round trip; the env override always wins."""
+    """The measured tier policy (BASELINE.md rounds 4-5): big worklists
+    start lean (GMAT_TPU_RMAX rounds, 4x/row, 512-slot buffers — the
+    global-compaction scatter source is wc*kcap rows and degrades past
+    ~1M rows) and escalate to (8, 64, 32k); short worklists start
+    dense-capable to skip a cascade round trip; the env override always
+    wins."""
     import unittest.mock as mock
 
     from gmat_tpu.scan.screen import _fused_tiers
 
-    assert _fused_tiers(4096, 128, 2080) == [(2, 8, 2048), (8, 64, 32768)]
+    assert _fused_tiers(4096, 128, 2080) == [(2, 8, 512), (8, 64, 32768)]
     assert _fused_tiers(4096, 128, 28) == [(8, 16, 8192), (8, 64, 32768)]
     with mock.patch.dict("os.environ", {"GMAT_TPU_RMAX": "1"}):
-        assert _fused_tiers(4096, 128, 28) == [(1, 4, 2048),
+        assert _fused_tiers(4096, 128, 28) == [(1, 4, 512),
                                                (8, 64, 32768)]
     # RMAX >= 9: the escalation tier must not shrink below tier 1 (it
     # would re-dispatch visits it provably cannot serve; ADVICE r4)
     with mock.patch.dict("os.environ", {"GMAT_TPU_RMAX": "9"}):
-        assert _fused_tiers(4096, 128, 2080) == [(9, 36, 2048),
+        assert _fused_tiers(4096, 128, 2080) == [(9, 36, 512),
                                                  (9, 64, 32768)]
     # tiny tiles clamp rounds/krow to the block/tile geometry
     rounds, krow, _ = _fused_tiers(64, 64, 3)[0]
     assert rounds <= 64 and krow <= 64
 
 
-def test_fused_compaction_precision_highest():
-    """The one-hot cols/vals compaction contractions must carry HIGHEST
-    matmul precision: at the TPU's DEFAULT precision they compute in bf16
-    and corrupt integer column indices above 256 (ADVICE r4 high).  A CPU
-    run cannot reproduce the corruption (CPU f32 matmuls are exact), so
-    pin the lowered IR instead; tools/check_tpu_extraction.py is the
-    on-hardware oracle check."""
+def test_fused_compaction_single_dot():
+    """The per-row compaction must stay matmul-free: slot extraction is
+    prefix-rank masked reduces (exact int32/f32 adds), so the whole
+    flat-cut visit lowers to exactly ONE dot_general — the score GEMM.
+    The round-4 one-hot contraction form needed HIGHEST (bf16x3) matmul
+    precision to keep integer columns exact on TPU (ADVICE r4 high); a
+    reintroduced compaction matmul at default precision would corrupt
+    snp_1 indices above 256 on the production backend, invisibly to
+    CPU-pinned tests."""
     import jax
 
     from gmat_tpu.scan.screen import _fused_visit
@@ -471,7 +475,7 @@ def test_fused_compaction_precision_highest():
         np.zeros((4, 128), np.float32), np.zeros(128, np.int32),
         np.zeros(128, np.int32), np.zeros((11, 1), np.float32),
     ).as_text()
-    assert text.count("HIGHEST") >= 2
+    assert text.count("dot_general") == 1
 
 
 @pytest.mark.parametrize("seed", [11, 12, 13, 14])

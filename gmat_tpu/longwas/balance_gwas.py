@@ -137,13 +137,30 @@ def _pd_ok(cov_add, cov_per, res):
 
 
 def _model_pieces(xmat, leg_tp, lam, cov_add, cov_per, res_var):
+    """Per-id V^-1 in closed form from ONE (t, t) Cholesky + eigh.
+
+    V_i = lam_i * A + C with A = leg K_a leg' and C = leg K_p leg' + r I
+    shared by every id — only the scalar kinship eigenvalue lam_i varies.
+    Whiten A by C = M M' and eigendecompose W = M^-1 A M^-T = Q D Q';
+    with U = M^-T Q,  V_i^-1 = U diag(1/(lam_i d + 1)) U'.  The direct
+    form ran a batched LU inverse over every (SNP, id) pair — measured
+    1.50 s per (256, 1212, 16, 16) batch on this TPU, ~85% of the whole
+    fixed test's runtime, vs ~55 ms for the batched 16x16
+    cholesky+eigh pair (tools/bench_longwas_profile.py)."""
+    from jax.scipy.linalg import solve_triangular
+
     t = leg_tp.shape[0]
-    vmat = (
-        lam[:, None, None] * (leg_tp @ cov_add @ leg_tp.T)[None]
-        + (leg_tp @ cov_per @ leg_tp.T)[None]
-        + res_var * jnp.eye(t, dtype=xmat.dtype)[None]
-    )
-    vinv = jnp.linalg.inv(vmat)
+    amat = leg_tp @ cov_add @ leg_tp.T
+    cmat = (leg_tp @ cov_per @ leg_tp.T
+            + res_var * jnp.eye(t, dtype=xmat.dtype))
+    mchol = jnp.linalg.cholesky(cmat)
+    w = solve_triangular(
+        mchol, solve_triangular(mchol, amat, lower=True).T, lower=True)
+    w = (w + w.T) / 2
+    d, q = jnp.linalg.eigh(w)
+    u = solve_triangular(mchol.T, q, lower=False)  # (t, t), not orthogonal
+    wgt = 1.0 / (lam[:, None] * d[None, :] + 1.0)  # (n, t)
+    vinv = jnp.einsum("tc,nc,uc->ntu", u, wgt, u)
     xvx_inv = jnp.linalg.inv(jnp.einsum("ntp,ntu,nuq->pq", xmat, vinv, xmat))
     return vinv, xvx_inv
 

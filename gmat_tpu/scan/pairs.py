@@ -563,8 +563,14 @@ def _remma_epi_pair(kind, pheno_file, bed_prefix, gmat_lst, var_com,
     mat0, mat1, pieces, num_snp, _ = _epi_setup(
         pheno_file, bed_prefix, gmat_lst, var_com, kind
     )
-    pairs = pd.read_csv(snp_pair_file, sep=r"\s+", usecols=[0, 1],
-                        skiprows=1, header=None).to_numpy(dtype=np.int64)
+    try:
+        pairs = pd.read_csv(snp_pair_file, sep=r"\s+", usecols=[0, 1],
+                            skiprows=1, header=None).to_numpy(dtype=np.int64)
+    except pd.errors.EmptyDataError:
+        # header-only pair file: a screen with zero survivors is a normal
+        # outcome for strict cuts — the exact re-test must produce an
+        # empty (header-only) result, not crash the approx pipeline
+        pairs = np.empty((0, 2), dtype=np.int64)
     if pairs.size and (pairs.max() > num_snp - 1 or pairs.min() < 0):
         raise ValueError("snp_pair is out of range!")
     ndev = int(mesh.devices.size) if mesh is not None else 1

@@ -69,9 +69,9 @@ _FUSED_BLK = 32  # lanes per bitmask group of the fused extraction (uint32)
 def _fused_tiers(tile: int, blk: int, n_work: int):
     """(rounds, krow, kcap_base) extraction tiers.
 
-    Tier 1 (GMAT_TPU_RMAX rounds, 4x that per row, 2048-slot visit
-    buffers) serves typical screen cuts; the escalation tier (8, 64, 32k)
-    serves hit-dense panels.  Beyond that the legacy two-phase engine
+    Tier 1 (GMAT_TPU_RMAX rounds, 2x that per row, tile^2/2^15-slot
+    visit buffers) serves typical screen cuts; the escalation tier
+    (8, 64, 32k) serves hit-dense panels.  Beyond that the legacy two-phase engine
     takes the visit.  Every tier is fully UNROLLED — measured on this TPU,
     a lax.cond costs ~0.75 ms/visit and a while_loop + carried storage
     ~3 ms/visit, while one unrolled round is ~0.1 ms; kcap sizes the
@@ -88,12 +88,19 @@ def _fused_tiers(tile: int, blk: int, n_work: int):
         tiers = [(min(8, blk), min(16, tile), 8192)]
     else:
         r1 = max(1, int(env or "2"))
-        # kcap 512 (was 2048): the global-compaction scatter's source is
-        # wc*kcap rows and XLA TPU row-scatter degrades ~3.4 -> ~90 ns/row
-        # past ~1M rows; at the production chunk (wc=520) 2048 put the
-        # source at 1.06M rows (~40 ms/chunk measured, tools/bench_kcap.py)
-        # while 512 serves typical screen cuts (denser visits escalate)
-        tiers = [(min(r1, blk), min(4 * r1, tile), 512)]
+        # kcap tile^2/2^15 (512 at the 4096 bench tile; was a flat 2048):
+        # the global-compaction scatter's source is wc*kcap rows and XLA
+        # TPU row-scatter degrades ~3.4 -> ~90 ns/row past ~1M rows; at
+        # the production chunk (wc=520) 2048 put the source at 1.06M rows
+        # (~40 ms/chunk measured, tools/bench_kcap.py) while 512 serves
+        # typical screen cuts (denser visits escalate).  Per-visit hit
+        # counts scale with the tile AREA, so the budget does too —
+        # a flat 512 at tile 8192 would flag every visit of the same cut.
+        # krow 4*r1: a 2*r1 variant measured SLOWER (the (tile, 4)
+        # per-row lists mis-tile on the 8x128 register layout), so the
+        # wider budget stays
+        tiers = [(min(r1, blk), min(4 * r1, tile),
+                  max(64, (tile * tile) >> 15))]
     # escalation budgets never below tier 1's: with GMAT_TPU_RMAX >= 9 a
     # fixed (8, 64) tier would re-dispatch visits it provably cannot serve
     # (max(bc) > r1 > 8) before falling to legacy (ADVICE r4 low)
@@ -203,7 +210,15 @@ def _fused_visit(tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
     cols_c = jnp.stack(cs, axis=2).reshape(tile, n_blk * rounds)
     acc = (bc[:, :, None] > jnp.arange(rounds, dtype=jnp.int32)
            ).reshape(tile, n_blk * rounds)
-    pos = jnp.cumsum(acc.astype(jnp.int32), axis=1) - 1
+    # prefix ranks via a lower-triangular-ones MXU dot: jnp.cumsum lowers
+    # to a log-shift add chain over the (tile, n_blk*rounds) grid on TPU
+    # while one (c, c) matmul rides the MXU; HIGHEST precision (bf16x3)
+    # keeps the integer ranks (< 2^24) exact
+    nc = n_blk * rounds
+    tri = jnp.tril(jnp.ones((nc, nc), dtype))
+    pos = jnp.einsum("rc,cd->rd", acc.astype(dtype), tri,
+                     precision=jax.lax.Precision.HIGHEST
+                     ).astype(jnp.int32) - 1
     pos = jnp.where(acc, pos, -1)
     vvals, vcols = [], []
     for k in range(krow):
@@ -265,7 +280,7 @@ def _fused_map_and_compact(worklist, a_gath, b_mat, anchors_padded,
     return buf[:cap], total, counts, flags, lv
 
 
-_HEAD_SIZES = (1 << 13, 1 << 15, 1 << 17, 1 << 18)
+_HEAD_SIZES = (1 << 13, 1 << 15, 3 << 15, 1 << 17, 3 << 16, 1 << 18)
 
 
 @partial(jax.jit, static_argnames=("mask_mode", "tile", "flat_cut", "m",
@@ -905,7 +920,8 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
             # SLOWER than one dispatch (0.25 s vs 0.19 s at the yeast
             # shape): the extra round trips cost more than the overlap
             # buys below ~256 visits
-            n_chunks = 4 if len(work_sub) >= 256 * max(ndev, 1) else 1
+            n_chunks = (8 if len(work_sub) >= 1024 * max(ndev, 1) else
+                        4 if len(work_sub) >= 256 * max(ndev, 1) else 1)
             wc = -(-len(work_sub) // (n_chunks * ndev)) * ndev
             # kcap sizes BOTH the per-visit buffer and the global scatter's
             # source (wc*kcap rows at ~90 ns/row): 2048 measured as cheap
@@ -1157,8 +1173,10 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
         start = int(t) * tile
         batch = anchors[start:start + tile]
         # canonical (i, j) row order within the tile: the chunked extraction
-        # scan emits hits chunk-major, not row-major
-        order = np.lexsort((hj, hi))
+        # scan emits hits chunk-major, not row-major.  Single fused int64
+        # key: ~2x faster than np.lexsort on this host (i, j < 2^24 so the
+        # key fits int64 exactly)
+        order = np.argsort(hi * np.int64(m_total) + hj, kind="stable")
         hi, hj, he = hi[order], hj[order], he[order]
         if len(batch) < tile:  # drop hits from duplicated padding anchors
             keep = np.isin(hi, batch)

@@ -429,7 +429,7 @@ def test_fused_cap_overflow_salvage(use_mesh, seed):
 
 def test_fused_tier_policy():
     """The measured tier policy (BASELINE.md rounds 4-5): big worklists
-    start lean (GMAT_TPU_RMAX rounds, 4x/row, 512-slot buffers — the
+    start lean (GMAT_TPU_RMAX rounds, 4x/row, tile^2/2^15-slot buffers — the
     global-compaction scatter source is wc*kcap rows and degrades past
     ~1M rows) and escalate to (8, 64, 32k); short worklists start
     dense-capable to skip a cascade round trip; the env override always
@@ -454,14 +454,15 @@ def test_fused_tier_policy():
 
 
 def test_fused_compaction_single_dot():
-    """The per-row compaction must stay matmul-free: slot extraction is
-    prefix-rank masked reduces (exact int32/f32 adds), so the whole
-    flat-cut visit lowers to exactly ONE dot_general — the score GEMM.
-    The round-4 one-hot contraction form needed HIGHEST (bf16x3) matmul
-    precision to keep integer columns exact on TPU (ADVICE r4 high); a
-    reintroduced compaction matmul at default precision would corrupt
-    snp_1 indices above 256 on the production backend, invisibly to
-    CPU-pinned tests."""
+    """The hit VALUES/COLUMNS must never flow through a matmul: slot
+    extraction is prefix-rank masked reduces (exact int32/f32 adds), so
+    the flat-cut visit lowers to exactly TWO dot_generals — the score
+    GEMM and the integer prefix-rank triangular dot, which must carry
+    HIGHEST (bf16x3) precision (integer ranks < 2^24 stay exact; a
+    default-precision bf16 dot corrupts counts above 255).  The round-4
+    one-hot value contraction this guards against corrupted snp_1
+    indices above 256 on the production backend, invisibly to CPU-pinned
+    tests (ADVICE r4 high)."""
     import jax
 
     from gmat_tpu.scan.screen import _fused_visit
@@ -475,7 +476,8 @@ def test_fused_compaction_single_dot():
         np.zeros((4, 128), np.float32), np.zeros(128, np.int32),
         np.zeros(128, np.int32), np.zeros((11, 1), np.float32),
     ).as_text()
-    assert text.count("dot_general") == 1
+    assert text.count("dot_general") == 2
+    assert "HIGHEST" in text
 
 
 @pytest.mark.parametrize("seed", [11, 12, 13, 14])
@@ -559,3 +561,55 @@ def test_fused_maf_cut_panel(rng):
         & (np.arange(m)[None, :] > np.arange(m)[:, None])))}
     assert len(want) > 50
     assert set(zip(i0.tolist(), i1.tolist())) == want
+
+
+def test_fused_8way_chunked_worklist(rng):
+    """Worklists past 1024 visits dispatch in 8 equal-shape chunks whose
+    in-program head fetches pipeline behind the next chunk's compute; the
+    merged output must equal the brute-force hit set exactly (the
+    production 2080-visit sweep takes this path)."""
+    import unittest.mock as mock
+
+    import jax.numpy as jnp
+
+    from gmat_tpu.scan import screen as sc
+
+    n, m, tile = 8, 2048, 32  # 64 anchor tiles -> 2080 visits
+    geno = rng.choice([0.0, 1.0, 2.0], size=(n, m))
+    mat = np.asarray(geno - geno.mean(0, keepdims=True), dtype=np.float32)
+    py = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    eff = (mat * py[:, None]).T @ mat
+    iu = np.triu_indices(m, 1)
+    cut = float(np.quantile(np.abs(eff[iu]), 0.999))
+    anchors = np.arange(m - 1, dtype=np.int32)
+    bins = np.zeros(m, dtype=np.int64)
+    table = np.full(111, cut)
+    with mock.patch.dict("os.environ", {"GMAT_TPU_SCREEN": "fused"}):
+        i0, i1, e = sc._run_screen(jnp.asarray(mat), jnp.asarray(mat),
+                                   jnp.asarray(py), anchors, bins, bins,
+                                   table, "tri", tile)
+    want = {(a, b) for a, b in zip(*np.where(
+        (np.abs(eff) > cut)
+        & (np.arange(m)[None, :] > np.arange(m)[:, None])))}
+    assert set(zip(i0.tolist(), i1.tolist())) == want
+    assert np.all(np.lexsort((i1, i0)) == np.arange(len(i0)))
+
+
+def test_approx_pipeline_zero_survivors(tmp_path, mouse_pheno, mouse_prefix,
+                                        setup):
+    """A screen with ZERO survivors is a normal outcome for strict cuts
+    (e.g. miscalibrated variance components): the approx pipeline must
+    produce a header-only result file, not crash the exact re-test on a
+    header-only pair file (pandas EmptyDataError)."""
+    ag, _, _ = setup
+    out = str(tmp_path / "approx0")
+    # arbitrary (non-fitted) variance components blow up the calibration
+    # median -> eff_cut far beyond any effect -> 0 screen hits
+    remma_epiAA_approx(mouse_pheno, mouse_prefix, [ag, ag * ag],
+                       [0.4, 0.1, 0.6], p_cut=1e-4, num_random_pair=20000,
+                       out_file=out)
+    with open(out) as f:
+        lines = f.read().strip().split("\n")
+    assert lines[0].split() == ["snp_0", "snp_1", "eff", "var", "chi",
+                                "p_app", "p"]
+    assert len(lines) == 1

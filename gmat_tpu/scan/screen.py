@@ -64,6 +64,9 @@ logger = logging.getLogger(__name__)
 # fused single-pass screen (round-4 engine) ---------------------------------
 _FUSED_CAP = 1 << 22  # global hit-buffer slots (48 MB on-device)
 _FUSED_BLK = 32  # lanes per bitmask group of the fused extraction (uint32)
+# anchor panels past this take the identity/scale-in-visit path (the
+# gather+scale copy peaks at 3x the panel; tests patch this down)
+_GATHER_BYTES_MAX = 2 << 30
 
 
 def _fused_tiers(tile: int, blk: int, n_work: int):
@@ -112,7 +115,7 @@ def _fused_tiers(tile: int, blk: int, n_work: int):
 
 
 def _fused_visit(tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
-                 mask_mode, tile, rounds, krow, flat_cut, m):
+                 mask_mode, tile, rounds, krow, flat_cut, m, py=None):
     """One (anchor-tile, partner-tile) visit of the fused screen.
 
     Computes the tile GEMM once and extracts its hits in the same program
@@ -145,6 +148,11 @@ def _fused_visit(tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
     dtype = a_gath.dtype
     t, pt = tp_row[0] * tile, tp_row[1] * tile
     a = jax.lax.dynamic_slice_in_dim(a_gath, t, tile, axis=1)
+    if py is not None:
+        # scale-in-visit path: a_gath is the RAW coded panel (identity
+        # anchors skip the gather+scale copy, whose 3x-panel peak OOMs a
+        # 16 GB chip at >=1M SNPs); one (n, tile) multiply per visit
+        a = a * py[:, None]
     b = jax.lax.dynamic_slice_in_dim(b_mat, pt, tile, axis=1)
     s = a.T @ b  # (TA, TC) — the MXU GEMM
     a_idx = jax.lax.dynamic_slice_in_dim(anchors_padded, t, tile)
@@ -161,6 +169,9 @@ def _fused_visit(tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
     else:
         valid = j_ids[None, :] != a_idx[:, None]
     valid &= j_ids[None, :] < jnp.int32(m)
+    # sentinel anchor ids (>= m) mark padding slots of the identity-anchor
+    # path: their rows read real columns but belong to no anchor
+    valid &= a_idx[:, None] < jnp.int32(m)
     hit = (jnp.abs(s) > cuts) & valid
 
     blk = _FUSED_BLK if tile % _FUSED_BLK == 0 else tile  # <=32 lanes/group
@@ -234,7 +245,7 @@ def _fused_visit(tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
 
 def _fused_map_and_compact(worklist, a_gath, b_mat, anchors_padded,
                            bins_anchor, t2_p, mask_mode, tile, flat_cut, m,
-                           cap, rounds, krow, kcap):
+                           cap, rounds, krow, kcap, py=None):
     """lax.map of `_fused_visit` with per-visit (kcap, 3) buffers, then ONE
     global compaction scatter.  Both scatters have SMALL static sources —
     (tile*krow) rows per visit and (W*kcap) rows once — because the visit
@@ -249,7 +260,7 @@ def _fused_map_and_compact(worklist, a_gath, b_mat, anchors_padded,
     def one(tp_row):
         count, flag, a_idx, rc_cap, cols, vals = _fused_visit(
             tp_row, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
-            mask_mode, tile, rounds, krow, flat_cut, m)
+            mask_mode, tile, rounds, krow, flat_cut, m, py)
         offs = jnp.cumsum(rc_cap, dtype=jnp.int32) - rc_cap
         lv = offs[-1] + rc_cap[-1]
         flag |= lv > kcap
@@ -288,7 +299,7 @@ _HEAD_SIZES = (1 << 13, 1 << 15, 3 << 15, 1 << 17, 3 << 16, 1 << 18)
                                    "fetch_cap"))
 def _fused_screen_scan(worklist, a_gath, b_mat, anchors_padded, bins_anchor,
                        t2_p, mask_mode, tile, flat_cut, m, cap, rounds, krow,
-                       kcap, fetch_cap=0):
+                       kcap, fetch_cap=0, py=None):
     """Fused single-pass screen: ONE dispatch sweeps the whole worklist and
     compacts every visit's hits into a shared global buffer on device.  The
     host then fetches O(hits) bytes instead of the per-tile fixed-capacity
@@ -307,7 +318,7 @@ def _fused_screen_scan(worklist, a_gath, b_mat, anchors_padded, bins_anchor,
     tiers cost only HBM."""
     buf, total, counts, flags, lv = _fused_map_and_compact(
         worklist, a_gath, b_mat, anchors_padded, bins_anchor, t2_p,
-        mask_mode, tile, flat_cut, m, cap, rounds, krow, kcap)
+        mask_mode, tile, flat_cut, m, cap, rounds, krow, kcap, py)
     out = {"buf": buf, "total": total, "counts": counts, "flags": flags,
            "lv": lv}
     if fetch_cap == -1:
@@ -317,7 +328,7 @@ def _fused_screen_scan(worklist, a_gath, b_mat, anchors_padded, bins_anchor,
 
 def _fused_screen_mesh(mesh, worklist, a_gath, b_mat, anchors_padded,
                        bins_anchor, t2_p, mask_mode, tile, flat_cut, m, cap,
-                       rounds, krow, kcap, fetch_cap=0):
+                       rounds, krow, kcap, fetch_cap=0, py=None):
     """Fused screen over a device mesh: worklist rows sharded, everything
     else replicated; each device runs the same per-visit math into its own
     global buffer, so the merged (visit-keyed) output is byte-identical to
@@ -339,23 +350,25 @@ def _fused_screen_mesh(mesh, worklist, a_gath, b_mat, anchors_padded,
     if fetch_cap:
         specs = specs + (P(AXIS, None, None),)
 
+    in_specs = (P(AXIS, None), P(None, None), P(None, None), P(None),
+                P(None), P(None, None))
+    if py is not None:
+        in_specs = in_specs + (P(None),)
+
     @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
-    @partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(AXIS, None), P(None, None), P(None, None), P(None),
-                  P(None), P(None, None)),
-        out_specs=specs,
-    )
-    def kernel(wl, ag, bm, ap, ba, tp):
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=specs)
+    def kernel(wl, ag, bm, ap, ba, tp, *py_arg):
         buf, total, counts, flags, lv = _fused_map_and_compact(
             wl, ag, bm, ap, ba, tp, mask_mode, tile, flat_cut, m, cap,
-            rounds, krow, kcap)
+            rounds, krow, kcap, py_arg[0] if py_arg else None)
         outs = (buf[None], total[None], counts[None], flags[None], lv[None])
         if fetch_cap:
             return (buf[:fetch_cap][None],) + outs[1:] + (outs[0],)
         return outs
 
-    return kernel(worklist, a_gath, b_mat, anchors_padded, bins_anchor, t2_p)
+    extra = () if py is None else (py,)
+    return kernel(worklist, a_gath, b_mat, anchors_padded, bins_anchor,
+                  t2_p, *extra)
 
 
 def _screen_slack() -> float:
@@ -560,7 +573,14 @@ def _screen_tiles_mesh(mesh, tstarts, chunk_counts, anchors_padded,
 @jax.jit
 def _gather_scale(a_mat, idx, py):
     """One up-front anchor gather + pymat scale (strided per-tile column
-    gathers on TPU cost more than the extraction GEMM itself)."""
+    gathers on TPU cost more than the extraction GEMM itself).
+
+    Memory: XLA holds the input, the gather and the scaled product at
+    once — 3x the anchor panel.  At >=1M-SNP full scans that peaks past
+    a v5e's 15.75 GB HBM, so the fused driver detects identity anchor
+    lists there and skips this copy entirely (scale-in-visit path); a
+    chunked fori_loop variant was measured to double-buffer its carry
+    and OOM identically."""
     return a_mat[:, idx] * py[:, None]
 
 
@@ -903,8 +923,32 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
         b_pad_d = (jnp.pad(b_mat, ((0, 0), (0, width - m_true)))
                    if width > m_true else b_mat)
         sentinel = np.array([[0, n_ptiles]], dtype=np.int32)
-        padded_d = jnp.asarray(padded_all)
-        a_gath_f = _gather_scale(a_mat, padded_d, pymat)
+        a_w = n_tiles * tile
+        a_bytes = a_mat.shape[0] * a_w * np.dtype(a_mat.dtype).itemsize
+        ident = (a_bytes > _GATHER_BYTES_MAX
+                 and np.array_equal(anchors,
+                                    np.arange(len(anchors),
+                                              dtype=anchors.dtype)))
+        if ident:
+            # identity anchors at a huge panel: the raw coded panel IS
+            # the anchor panel, so skip the gather+scale copy (its
+            # 3x-panel peak OOMs a 16 GB chip at >=1M SNPs); the pymat
+            # scale moves into the visit and padding slots get sentinel
+            # id m_true, whose rows the visit mask makes provably hitless
+            # — exactly the semantics the duplicated-anchor pad + host
+            # dedup produced
+            ids = padded_all.copy()
+            ids[len(anchors):] = m_true
+            padded_d = jnp.asarray(ids)
+            a_gath_f = (a_mat if a_w == a_mat.shape[1] else
+                        jnp.pad(a_mat, ((0, 0), (0, a_w - a_mat.shape[1]))))
+            py_vis = pymat
+            logger.info("Fused screen: identity-anchor scale-in-visit path "
+                        "(anchor panel %.1f GiB)", a_bytes / 2**30)
+        else:
+            padded_d = jnp.asarray(padded_all)
+            a_gath_f = _gather_scale(a_mat, padded_d, pymat)
+            py_vis = None
         bins_anchor_f = bins_a_d[padded_d]
         blk_w = _FUSED_BLK if tile % _FUSED_BLK == 0 else tile
         tiers = _fused_tiers(tile, blk_w, len(work))
@@ -947,11 +991,12 @@ def _run_screen_impl(a_mat, b_mat, pymat, anchors, bins_a, bins_b, table,
                 if mesh is not None:
                     outs.append(_fused_screen_mesh(
                         mesh, chunk, *args, mask_mode, tile, flat_cut,
-                        m_true, cap, rounds_i, krow_i, kcap, fetch_cap))
+                        m_true, cap, rounds_i, krow_i, kcap, fetch_cap,
+                        py_vis))
                 else:
                     outs.append(_fused_screen_scan(
                         chunk, *args, mask_mode, tile, flat_cut, m_true,
-                        cap, rounds_i, krow_i, kcap, -1))
+                        cap, rounds_i, krow_i, kcap, -1, py_vis))
             pc_parts, fl_parts, raw_parts, st_parts = [], [], [], []
             base = 0
             for out in outs:

@@ -613,3 +613,40 @@ def test_approx_pipeline_zero_survivors(tmp_path, mouse_pheno, mouse_prefix,
     assert lines[0].split() == ["snp_0", "snp_1", "eff", "var", "chi",
                                 "p_app", "p"]
     assert len(lines) == 1
+
+
+def test_fused_identity_anchor_scale_in_visit(rng):
+    """Full scans over panels past the gather budget take the
+    identity-anchor path: the raw coded panel is sliced per visit (no
+    gathered+scaled copy — a 3x-panel peak OOMs a 16 GB chip at >=1M
+    SNPs), pymat scaling happens in-visit, and padding slots carry a
+    sentinel id whose rows must stay hitless.  Output must be
+    byte-identical to the gather path."""
+    import unittest.mock as mock
+
+    import jax.numpy as jnp
+
+    from gmat_tpu.scan import screen as sc
+
+    n, m, tile = 16, 500, 32  # 499 anchors -> 512-wide padded tail
+    geno = rng.choice([0.0, 1.0, 2.0], size=(n, m))
+    mat = np.asarray(geno - geno.mean(0, keepdims=True), dtype=np.float32)
+    py = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    eff = (mat * py[:, None]).T @ mat
+    # sparse cut: the fused tiers must serve every visit (the legacy
+    # fallback for flagged visits uses the gather path by design)
+    cut = float(np.quantile(np.abs(eff[np.triu_indices(m, 1)]), 0.998))
+    anchors = np.arange(m - 1, dtype=np.int32)
+    bins = np.zeros(m, dtype=np.int64)
+    table = np.full(111, cut)
+    args = (jnp.asarray(mat), jnp.asarray(mat), jnp.asarray(py), anchors,
+            bins, bins, table, "tri", tile)
+    with mock.patch.dict("os.environ", {"GMAT_TPU_SCREEN": "fused"}):
+        base = sc._run_screen(*args)
+        with mock.patch.object(sc, "_GATHER_BYTES_MAX", 0), \
+                mock.patch.object(sc, "_gather_scale",
+                                  side_effect=AssertionError("gather ran")):
+            ident = sc._run_screen(*args)
+    for b, i in zip(base, ident):
+        np.testing.assert_array_equal(b, i)
+    assert len(base[0]) > 0

@@ -92,16 +92,20 @@ def main():
         timeit(f"full_kcap{kc}", run)
 
     # scatter-free bound: per-visit compaction only (map of _fused_visit),
-    # reduced outputs so nothing big is built or fetched
-    def visits_only():
+    # reduced outputs so nothing big is built or fetched.  Arrays are jit
+    # ARGUMENTS — a closure would bake the 1.4 GB panel into the program
+    # as constants and stall the remote compile service
+    @jax.jit
+    def visits_fn(w, ag, bm, ap, ba, tp):
         def one(tp_row):
             c, f, a_idx, rc, cols, vals = sc._fused_visit(
-                tp_row, a_gath, mat_d, padded_d, bins_anchor, t2_p, "tri",
-                TILE, 2, 8, True, N_SNP)
+                tp_row, ag, bm, ap, ba, tp, "tri", TILE, 2, 8, True, N_SNP)
             return c, jnp.sum(cols), jnp.sum(vals)
 
-        f = jax.jit(lambda w: jax.lax.map(one, w))
-        out = f(wl)
+        return jax.lax.map(one, w)
+
+    def visits_only():
+        out = visits_fn(wl, a_gath, mat_d, padded_d, bins_anchor, t2_p)
         return int(np.asarray(out[0]).sum())
 
     timeit("visits_only", visits_only)
